@@ -1,0 +1,200 @@
+"""CATRE top module: shared PointNet over observed cloud + transformed prior
+keypoints, disentangled delta heads, pose/scale composition.
+
+Behavioral reference: `core/catre/models/CATRE_disR_shared.py:31-166`.
+TPU-native design notes:
+  - both clouds are encoded in ONE batched encoder call (stacked along the
+    batch axis) instead of two sequential calls — one bigger matmul chain, no
+    duplicated weights traffic from HBM;
+  - the full refine iteration (keypoint transform, zero-centering, encoder,
+    heads, composition) is a pure function `refine_forward` suitable for
+    `jax.lax.scan` over refine iterations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..geom.rotations import rot6d_to_mat
+from ..geom.transforms import transform_normed_pts
+from .compose import pose_scale_from_delta_init
+from .heads import ConvOutPerRotHead, FCTransSizeHead
+from .pointnet import PointNetFeat
+
+
+@dataclass(frozen=True)
+class CATREConfig:
+    """Static model hyper-parameters (shipped NOCS-REAL config values)."""
+
+    num_pcl: int = 1024
+    num_kps: int = 1024
+    pclnet_out_dim: int = 1024
+    feature_transform: bool = True
+    rot_feat_dim: int = 256
+    rot_num_layers: int = 2
+    rot_num_gn_groups: int = 32
+    ts_feat_dim: int = 256
+    ts_num_layers: int = 2
+    ts_num_gn_groups: int = 32
+    ts_with_kps_feature: bool = False
+    ts_with_init_scale: bool = True
+    ts_with_init_trans: bool = False
+    rot_type: str = "ego_rot6d"          # {ego|allo}_rot6d
+    scale_type: str = "iter_add"         # {iter|mean}_{add|mul}
+    delta_t_space: str = "image"         # image | 3D
+    delta_t_weight: float = 1.0
+    delta_z_style: str = "cosypose"      # cosypose | deepim
+    t_transform_k_aware: bool = True
+    zero_center_input: bool = True
+    refine_scale: bool = True
+    dtype: Any = None                     # compute dtype (None = float32)
+
+    @property
+    def is_allo(self) -> bool:
+        return "allo" in self.rot_type
+
+
+class CATREDisRShared(nn.Module):
+    """Delta-prediction network (encoder + heads). Composition is done by
+    `refine_forward` so the module stays a pure delta predictor.
+
+    Inputs (points-last):
+      x:        (B, P, 3)   observed cloud (already zero-centered if cfg says)
+      tfd_kps:  (B, K, 3)   prior keypoints transformed by current s/R(,t)
+      init_scale: (B, 3)
+      init_trans: (B, 3)    (only used when ts_with_init_trans)
+    Outputs:
+      rot_deltas6 (B, 6), trans_deltas (B, 3), scale_deltas (B, 3)
+    """
+
+    cfg: CATREConfig
+
+    @nn.compact
+    def __call__(self, x, tfd_kps, init_scale, init_trans=None):
+        cfg = self.cfg
+        B = x.shape[0]
+        pcl_net = PointNetFeat(
+            out_dim=cfg.pclnet_out_dim,
+            global_feat=False,
+            feature_transform=cfg.feature_transform,
+            dtype=cfg.dtype,
+            name="pcl_net",
+        )
+        # Shared weights over both clouds: stack along batch (ref calls the
+        # net twice with the same weights, CATRE_disR_shared.py:66-67).
+        both = jnp.concatenate([x, tfd_kps], axis=0)  # (2B, P, 3)
+        feats = pcl_net(both)  # (2B, P, C=out_dim+64)
+        pcl_feat, kps_feat = feats[:B], feats[B:]
+
+        flat_pcl_feat = jnp.max(pcl_feat, axis=1)  # (B, C)
+        if cfg.ts_with_kps_feature:
+            flat_kps_feat = jnp.max(kps_feat, axis=1)
+            ts_feat = jnp.concatenate([flat_pcl_feat, flat_kps_feat], axis=1)
+        else:
+            ts_feat = flat_pcl_feat
+        if cfg.ts_with_init_scale:
+            ts_feat = jnp.concatenate([ts_feat, init_scale.astype(ts_feat.dtype)], axis=1)
+        if cfg.ts_with_init_trans:
+            assert init_trans is not None
+            ts_feat = jnp.concatenate([ts_feat, init_trans.astype(ts_feat.dtype)], axis=1)
+
+        trans_deltas, scale_deltas = FCTransSizeHead(
+            feat_dim=cfg.ts_feat_dim,
+            num_layers=cfg.ts_num_layers,
+            num_gn_groups=cfg.ts_num_gn_groups,
+            dtype=cfg.dtype,
+            name="ts_head",
+        )(ts_feat)
+
+        # rot head consumes per-point features of both clouds concatenated
+        # along the POINT axis (ref `CATRE_disR_shared.py:86`).
+        rot_feat = jnp.concatenate([pcl_feat, kps_feat], axis=1)  # (B, P+K, C)
+        rot_deltas6 = ConvOutPerRotHead(
+            feat_dim=cfg.rot_feat_dim,
+            num_layers=cfg.rot_num_layers,
+            rot_dim=3,
+            num_gn_groups=cfg.rot_num_gn_groups,
+            num_points=cfg.num_pcl + cfg.num_kps,
+            dtype=cfg.dtype,
+            name="rot_head",
+        )(rot_feat)
+
+        return (
+            rot_deltas6.astype(jnp.float32),
+            trans_deltas.astype(jnp.float32),
+            scale_deltas.astype(jnp.float32),
+        )
+
+
+def prepare_inputs(cfg: CATREConfig, pcl, obj_kps, pose_est, scale_est):
+    """Build the network inputs for one refine iteration.
+
+    Matches `batch_updater` (`core/catre/engine/batching.py:87-146`):
+      tfd_kps = R_est @ (kps * s_est) (+ t_est unless zero-center)
+      x = pcl - t_est (zero-center) or pcl
+
+    Args:
+      pcl: (B, P, 3); obj_kps: (B, K, 3) normalized prior keypoints
+      pose_est: (B, 3, 4); scale_est: (B, 3)
+    """
+    r_est = pose_est[:, :3, :3]
+    t_est = pose_est[:, :3, 3]
+    tfd_kps = transform_normed_pts(
+        obj_kps, r_est, t=None if cfg.zero_center_input else t_est, scale=scale_est
+    )
+    if cfg.zero_center_input:
+        x = pcl - t_est[:, None, :]
+    else:
+        x = pcl
+    return x, tfd_kps
+
+
+def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
+                   pcl, obj_kps, pose_est, scale_est, K, mean_scales=None):
+    """One full refine iteration: inputs -> deltas -> composed pose/scale.
+
+    Mirrors `model.forward` + `pose_scale_from_delta_init`
+    (`CATRE_disR_shared.py:40-121`). Returns (pose (B,3,4), scale (B,3)).
+    """
+    x, tfd_kps = prepare_inputs(cfg, pcl, obj_kps, pose_est, scale_est)
+    if cfg.dtype is not None:
+        x = x.astype(cfg.dtype)
+        tfd_kps = tfd_kps.astype(cfg.dtype)
+    rot_deltas6, trans_deltas, scale_deltas = model.apply(
+        {"params": params}, x, tfd_kps, scale_est, pose_est[:, :3, 3]
+    )
+    rot_m_deltas = rot6d_to_mat(rot_deltas6)
+    scale_inits = scale_est if "iter" in cfg.scale_type else mean_scales
+    pred_rot, pred_trans, pred_scale = pose_scale_from_delta_init(
+        rot_deltas=rot_m_deltas,
+        trans_deltas=trans_deltas,
+        scale_deltas=scale_deltas,
+        rot_inits=pose_est[:, :3, :3],
+        trans_inits=pose_est[:, :3, 3],
+        scale_inits=scale_inits,
+        Ks=K,
+        K_aware=cfg.t_transform_k_aware,
+        delta_T_space=cfg.delta_t_space,
+        delta_T_weight=cfg.delta_t_weight,
+        delta_z_style=cfg.delta_z_style,
+        is_allo=cfg.is_allo,
+        scale_type=cfg.scale_type,
+    )
+    if not cfg.refine_scale:
+        pred_scale = scale_est
+    pose = jnp.concatenate([pred_rot, pred_trans[:, :, None]], axis=-1)
+    return pose, pred_scale
+
+
+def init_params(model: CATREDisRShared, cfg: CATREConfig, rng):
+    """Initialize parameters with dummy static-shape inputs."""
+    x = jnp.zeros((1, cfg.num_pcl, 3), dtype=jnp.float32)
+    kps = jnp.zeros((1, cfg.num_kps, 3), dtype=jnp.float32)
+    s = jnp.ones((1, 3), dtype=jnp.float32)
+    t = jnp.zeros((1, 3), dtype=jnp.float32)
+    return model.init(rng, x, kps, s, t)["params"]
