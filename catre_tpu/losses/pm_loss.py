@@ -1,0 +1,107 @@
+"""Point-matching loss, symmetric-aware, vectorized on device.
+
+Behavioral reference: `core/catre/losses/pm_loss.py:21-194` (PyPMLoss).
+The reference's host-side per-sample closest-rotation loop
+(`get_closest_rot_batch`) is replaced by the batched trace-argmax in
+`geom.symmetry.closest_rot_batch`.
+
+Shipped config: loss_type=L1, symmetric=True, r_only=True, with_scale=True,
+PM_LW=1 (`configs/...120e.py:115-122`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.symmetry import closest_rot_batch
+from ..geom.transforms import transform_normed_pts
+from .common import elementwise, masked_mean
+
+
+def pm_loss(
+    pred_rots: jnp.ndarray,        # (B, 3, 3)
+    gt_rots: jnp.ndarray,          # (B, 3, 3)
+    points: jnp.ndarray,           # (B, P, 3) normalized prior keypoints
+    pred_transes: jnp.ndarray | None = None,
+    gt_transes: jnp.ndarray | None = None,
+    pred_scales: jnp.ndarray | None = None,
+    gt_scales: jnp.ndarray | None = None,
+    sym_flags: jnp.ndarray | None = None,   # (B,) bool
+    sym_bank: jnp.ndarray | None = None,    # (K, 3, 3)
+    valid_mask: jnp.ndarray | None = None,  # (B,)
+    loss_type: str = "l1",
+    beta: float = 1.0,
+    loss_weight: float = 1.0,
+    symmetric: bool = True,
+    r_only: bool = True,
+    with_scale: bool = True,
+    disentangle_t: bool = False,
+    disentangle_z: bool = False,
+    t_loss_use_points: bool = True,
+) -> dict:
+    """Returns a dict of loss scalars ({'loss_PM_R': ...} in the shipped cfg).
+
+    The x3 factor compensates the mean over the coordinate dim, matching the
+    reference (`pm_loss.py:193`).
+    """
+    fn = elementwise(loss_type, beta)
+
+    if symmetric:
+        assert sym_flags is not None and sym_bank is not None
+        gt_rots = closest_rot_batch(jax.lax.stop_gradient(pred_rots), gt_rots, sym_flags, sym_bank)
+
+    scale_est = pred_scales if with_scale else None
+    scale_tgt = gt_scales if with_scale else None
+    points_est = transform_normed_pts(points, pred_rots, t=None, scale=scale_est)
+    points_tgt = transform_normed_pts(points, gt_rots, t=None, scale=scale_tgt)
+
+    def pm_mean(a, b):
+        # per-sample mean over (P, 3), then masked batch mean
+        per = jnp.mean(fn(a, b), axis=(1, 2))
+        return masked_mean(per, valid_mask)
+
+    if r_only:
+        return {"loss_PM_R": 3.0 * pm_mean(points_est, points_tgt) * loss_weight}
+
+    assert pred_transes is not None and gt_transes is not None
+    if disentangle_z:
+        if t_loss_use_points:
+            tgt_RT = points_tgt + gt_transes[:, None, :]
+            est_R = points_est + gt_transes[:, None, :]
+            pt_xy = jnp.concatenate([pred_transes[:, :2], gt_transes[:, 2:3]], axis=1)
+            est_xy = points_tgt + pt_xy[:, None, :]
+            pt_z = jnp.concatenate([gt_transes[:, :2], pred_transes[:, 2:3]], axis=1)
+            est_z = points_tgt + pt_z[:, None, :]
+            return {
+                "loss_PM_R": 3.0 * pm_mean(est_R, tgt_RT) * loss_weight,
+                "loss_PM_xy": 3.0 * pm_mean(est_xy, tgt_RT) * loss_weight,
+                "loss_PM_z": 3.0 * pm_mean(est_z, tgt_RT) * loss_weight,
+            }
+        return {
+            "loss_PM_R": 3.0 * pm_mean(points_est, points_tgt) * loss_weight,
+            "loss_PM_xy_noP": masked_mean(
+                jnp.mean(fn(pred_transes[:, :2], gt_transes[:, :2]), axis=1), valid_mask
+            ),
+            "loss_PM_z_noP": masked_mean(
+                fn(pred_transes[:, 2], gt_transes[:, 2]), valid_mask
+            ),
+        }
+    if disentangle_t:
+        if t_loss_use_points:
+            tgt_RT = points_tgt + gt_transes[:, None, :]
+            est_R = points_est + gt_transes[:, None, :]
+            est_T = points_tgt + pred_transes[:, None, :]
+            return {
+                "loss_PM_R": 3.0 * pm_mean(est_R, tgt_RT) * loss_weight,
+                "loss_PM_T": 3.0 * pm_mean(est_T, tgt_RT) * loss_weight,
+            }
+        return {
+            "loss_PM_R": 3.0 * pm_mean(points_est, points_tgt) * loss_weight,
+            "loss_PM_T_noP": masked_mean(
+                jnp.mean(fn(pred_transes, gt_transes), axis=1), valid_mask
+            ),
+        }
+    tgt_RT = points_tgt + gt_transes[:, None, :]
+    est_RT = points_est + pred_transes[:, None, :]
+    return {"loss_PM_RT": 3.0 * pm_mean(est_RT, tgt_RT) * loss_weight}

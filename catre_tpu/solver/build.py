@@ -1,0 +1,90 @@
+"""Optimizer factory from a SOLVER config dict.
+
+Mirrors `core/utils/solver_utils.py:28-99` (build_optimizer_with_params) for
+the optimizer types exercised by the shipped configs, plus standard optax
+optimizers for the rest of the registry surface.  Per-head LR multipliers
+(`models/model_utils.py:66-167` param groups) are supported via a label map
+over top-level parameter collections.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from .ranger import ranger
+
+
+def _base_optimizer(opt_cfg: dict) -> tuple:
+    """Return (factory(lr) -> GradientTransformation, base_lr)."""
+    typ = str(opt_cfg.get("type", "Ranger")).lower()
+    lr = float(opt_cfg.get("lr", 1e-4))
+    wd = float(opt_cfg.get("weight_decay", 0.0))
+
+    if typ == "ranger":
+        def make(lr_):
+            return ranger(
+                learning_rate=lr_,
+                weight_decay=wd,
+                b1=float(opt_cfg.get("betas", (0.95, 0.999))[0]),
+                b2=float(opt_cfg.get("betas", (0.95, 0.999))[1]),
+                eps=float(opt_cfg.get("eps", 1e-5)),
+                k=int(opt_cfg.get("k", 6)),
+                alpha=float(opt_cfg.get("alpha", 0.5)),
+                use_gc=bool(opt_cfg.get("use_gc", True)),
+            )
+    elif typ == "adam":
+        def make(lr_):
+            return optax.adamw(lr_, weight_decay=wd) if wd else optax.adam(lr_)
+    elif typ == "adamw":
+        def make(lr_):
+            return optax.adamw(lr_, weight_decay=wd)
+    elif typ == "sgd":
+        def make(lr_):
+            return optax.sgd(lr_, momentum=float(opt_cfg.get("momentum", 0.9)))
+    elif typ == "radam":
+        def make(lr_):
+            return optax.radam(lr_)
+    else:
+        raise NotImplementedError(f"optimizer type {opt_cfg.get('type')}")
+    return make, lr
+
+
+def build_optimizer(solver_cfg: dict, lr_mults: dict | None = None) -> optax.GradientTransformation:
+    """Build the optimizer with the lr exposed as an injectable hyperparam.
+
+    Args:
+      solver_cfg: the SOLVER config dict (OPTIMIZER_CFG inside).
+      lr_mults: optional {top_level_param_key: multiplier}; multiplies the
+        update of that subtree (reference LR_MULT param groups).
+    """
+    opt_cfg = dict(solver_cfg.get("OPTIMIZER_CFG", {"type": "Ranger", "lr": 1e-4}))
+    make, base_lr = _base_optimizer(opt_cfg)
+
+    def factory(learning_rate):
+        tx = make(learning_rate)
+        if lr_mults and any(m != 1.0 for m in lr_mults.values()):
+            def scale_tree(updates, state, params=None):
+                del params
+                import jax
+
+                def scale(path, u):
+                    key = path[0].key if hasattr(path[0], "key") else str(path[0])
+                    return u * lr_mults.get(key, 1.0)
+
+                return jax.tree_util.tree_map_with_path(scale, updates), state
+
+            mult = optax.GradientTransformation(lambda p: optax.EmptyState(), scale_tree)
+            tx = optax.chain(tx, mult)
+        return tx
+
+    tx = optax.inject_hyperparams(factory)(learning_rate=base_lr)
+
+    clip_cfg = solver_cfg.get("CLIP_GRADIENTS", {})
+    if clip_cfg.get("ENABLED", False):
+        ctype = clip_cfg.get("CLIP_TYPE", "value")
+        cval = float(clip_cfg.get("CLIP_VALUE", 1.0))
+        if ctype == "value":
+            tx = optax.chain(optax.clip(cval), tx)
+        elif ctype in ("norm", "full_model"):
+            tx = optax.chain(optax.clip_by_global_norm(cval), tx)
+    return tx
