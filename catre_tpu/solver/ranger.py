@@ -66,7 +66,9 @@ def ranger(
             count=jnp.zeros([], jnp.int32),
             exp_avg=zeros,
             exp_avg_sq=jax.tree_util.tree_map(jnp.zeros_like, params),
-            slow=jax.tree_util.tree_map(jnp.asarray, params),
+            # materialize a distinct copy: the slow buffer must not alias the
+            # live params (donation would otherwise see the same buffer twice)
+            slow=jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params),
         )
 
     def update_fn(updates, state, params):
