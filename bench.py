@@ -1,0 +1,85 @@
+"""Benchmark: object refinements/sec/chip on the flagship CATRE model
+(1024 observed points + 1024 mean-shape keypoints, 4 refine iterations per
+object — the full test-time workload of BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the north-star target rate of
+50k obj/s on a v5e-8 => 6250 obj/s/chip (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_OBJ_PER_SEC_PER_CHIP = 50_000 / 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from catre_tpu.engine.refiner import make_refine_fn
+    from catre_tpu.models import CATREConfig, CATREDisRShared, init_params
+
+    rng = np.random.default_rng(0)
+    n_iter = 4
+    results = {}
+
+    for dtype_name, dtype in [("bf16", jnp.bfloat16), ("fp32", None)]:
+        cfg = CATREConfig(dtype=dtype)
+        model = CATREDisRShared(cfg)
+        params = init_params(model, cfg, jax.random.PRNGKey(0))
+        refine = make_refine_fn(model, cfg, n_iter=n_iter)
+
+        best = 0.0
+        # keep the compile count low: remote compiles are slow in this image
+        batch_sizes = [512, 1024] if dtype_name == "bf16" else [1024]
+        for b in batch_sizes:
+            R = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+            t = np.tile(np.array([0, 0, 1.0], dtype=np.float32), (b, 1))
+            pose = jnp.asarray(np.concatenate([R, t[:, :, None]], axis=2))
+            scale = jnp.asarray(rng.uniform(0.1, 0.3, (b, 3)).astype(np.float32))
+            pcl = jnp.asarray((rng.normal(size=(b, cfg.num_pcl, 3)) * 0.1 + t[:, None, :]).astype(np.float32))
+            kps = jnp.asarray((rng.normal(size=(b, cfg.num_kps, 3)) * 0.3).astype(np.float32))
+            K = jnp.asarray(np.tile(np.array(
+                [[591.0125, 0, 322.525], [0, 590.16775, 244.11084], [0, 0, 1]], np.float32), (b, 1, 1)))
+
+            args = (params, pcl, kps, pose, scale, K, scale)
+
+            def run_sync():
+                # block_until_ready is unreliable through the axon relay:
+                # force a scalar device->host fetch to synchronize.
+                out = refine(*args)
+                return float(out[0][-1, 0, 0, 0])
+
+            run_sync()  # compile + warmup
+            run_sync()
+
+            n_rep = 5
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                run_sync()
+            dt = (time.perf_counter() - t0) / n_rep
+            rate = b / dt
+            results[f"{dtype_name}_b{b}"] = rate
+            best = max(best, rate)
+        results[dtype_name] = best
+
+    value = results["bf16"]
+    print(
+        json.dumps(
+            {
+                "metric": "object refinements/sec/chip (1024 pts, 4 iters)",
+                "value": round(value, 1),
+                "unit": "obj/s/chip",
+                "vs_baseline": round(value / BASELINE_OBJ_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+    print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()}}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

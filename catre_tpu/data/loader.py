@@ -1,0 +1,275 @@
+"""Data pipeline: dataset dicts -> padded, static-shape instance batches.
+
+Behavioral reference: `core/catre/datasets/data_loader.py`
+(read_data_train:403, read_data_test:660, builders:877/926) and
+`core/catre/engine/batching.py` (instance flattening).
+
+TPU-native split of responsibilities:
+  host   — image/depth/mask decode, depth augmentation (numpy), gt assembly
+  device — backprojection + per-instance ball-crop sampling (one jit per
+           image, `ops.sampling.batch_ball_crop`), everything downstream
+The reference does all of this per-instance on CPU dataloader workers
+(`data_loader.py:576-611`); here the gathers run vectorized on the chip and
+the host only ships (depth, masks) once per image.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import assets, meta
+from .nocs import rle_to_binary_mask
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LoaderConfig:
+    """INPUT.* data-pipeline knobs of the shipped config."""
+
+    num_pcl: int = 1024
+    depth_sample_ball_ratio: float = 0.6
+    sample_depth_from_ball: bool = True
+    fps_sample: bool = False
+    aug_depth: bool = True
+    drop_depth_prob: float = 0.5
+    drop_depth_ratio: float = 0.2
+    add_noise_depth_prob: float = 0.9
+    add_noise_depth_level: float = 0.005
+    max_objs_per_image: int = 8
+    bbox_type_test: str = "est"       # est | gt
+    init_pose_type_test: str = "est"  # est | gt_noise
+    # gt_noise test mode (validation without external detections)
+    noise_rot_std_test: float = 15.0
+    noise_rot_max_test: float = 45.0
+    noise_trans_std_test: tuple = ((0.01, 0.01, 0.005), (0.01, 0.01, 0.01), (0.005, 0.005, 0.01))
+    noise_scale_std_test: tuple = ((0.001, 0.005, 0.001), (0.005, 0.001, 0.005), (0.01, 0.01, 0.01))
+
+
+def load_depth(path: str) -> np.ndarray:
+    """16-bit depth png -> meters; handles the encoded-3ch variant
+    (`cat_data_utils.py:447-460`)."""
+    import cv2
+
+    depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if depth is None:
+        raise FileNotFoundError(path)
+    if depth.ndim == 3:
+        # NOTE: encoded depth: high byte in G, low byte in B
+        depth16 = depth[:, :, 1].astype(np.uint16) * 256 + depth[:, :, 2].astype(np.uint16)
+        depth = depth16
+    return depth.astype(np.float32) / 1000.0
+
+
+def aug_depth_np(rng: np.random.Generator, depth: np.ndarray, cfg: LoaderConfig) -> np.ndarray:
+    """Depth augmentation (train): fill zeros with median-noise, random 20%
+    drop, gaussian noise (`data_loader.py:530-543`)."""
+    depth = depth.copy()
+    zero_idx = depth == 0
+    if zero_idx.any():
+        med = np.median(depth[zero_idx]) if np.isfinite(np.median(depth[zero_idx])) else 0.0
+        depth[zero_idx] = rng.normal(med, 0.1, size=int(zero_idx.sum()))
+    if rng.random() < cfg.drop_depth_prob:
+        keep = rng.uniform(0, 1, size=depth.shape) > cfg.drop_depth_ratio
+        depth = depth * keep
+    if rng.random() < cfg.add_noise_depth_prob:
+        level = rng.uniform(0, cfg.add_noise_depth_level)
+        noise = rng.normal(0, level, size=depth.shape)
+        depth = np.where(depth > 0, depth + noise, depth)
+    return depth.astype(np.float32)
+
+
+def mask_from_annotation(anno: dict, h: int, w: int) -> np.ndarray:
+    """Instance mask: RLE segmentation if present, else filled bbox region
+    (the `boxes_to_masks` fallback, `engine_utils.py:323-333`)."""
+    if "segmentation" in anno and anno["segmentation"] is not None:
+        return rle_to_binary_mask(anno["segmentation"])
+    bbox = anno.get("bbox_est", anno.get("bbox"))
+    m = np.zeros((h, w), dtype=bool)
+    if bbox is not None:
+        x1, y1, x2, y2 = [int(round(v)) for v in bbox]
+        x1, x2 = max(0, x1), min(w - 1, x2)
+        y1, y2 = max(0, y1), min(h - 1, y2)
+        m[y1 : y2 + 1, x1 : x2 + 1] = True
+    return m
+
+
+def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
+                         rng: np.random.Generator, mean_points: np.ndarray,
+                         mean_scales: np.ndarray) -> dict | None:
+    """Host part of one image: decode + per-instance gt assembly, padded to
+    cfg.max_objs_per_image."""
+    annos = record.get("annotations", [])
+    if not annos:
+        return None
+    annos = annos[: cfg.max_objs_per_image]
+    n = len(annos)
+    h, w = record["height"], record["width"]
+    m = cfg.max_objs_per_image
+
+    depth = load_depth(record["depth_file"])
+    if phase == "train" and cfg.aug_depth:
+        depth = aug_depth_np(rng, depth, cfg)
+
+    masks = np.zeros((m, h, w), dtype=bool)
+    classes = np.zeros(m, dtype=np.int32)
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (m, 1, 1))
+    poses[:, 2, 3] = 1.0
+    scales = np.full((m, 3), 0.1, dtype=np.float32)
+    sym = np.zeros(m, dtype=bool)
+    handles = np.ones(m, dtype=np.int32)
+    bboxes = np.zeros((m, 4), dtype=np.float32)
+    scores = np.zeros(m, dtype=np.float32)
+    pose_est = poses.copy()
+    scale_est = scales.copy()
+    valid = np.zeros(m, dtype=bool)
+
+    for i, anno in enumerate(annos):
+        classes[i] = anno["category_id"]
+        handles[i] = anno.get("mug_handle", 1)
+        obj_name = meta.ID2OBJ[anno["category_id"] + 1]
+        sym[i] = meta.sym_flag(obj_name, handles[i])
+        masks[i] = mask_from_annotation(anno, h, w)
+        scores[i] = anno.get("score", 1.0)
+        valid[i] = True
+        if phase == "train" or "pose" in anno:
+            poses[i] = anno["pose"]
+            scales[i] = anno["scale"]
+        if "pose_est" in anno:
+            pose_est[i] = anno["pose_est"]
+            scale_est[i] = anno["scale_est"]
+        bb = anno.get("bbox_est", anno.get("bbox"))
+        if bb is not None:
+            bboxes[i] = bb
+
+    return {
+        "depth": depth,
+        "K": np.asarray(record["cam"], dtype=np.float32),
+        "masks": masks,
+        "obj_cls": classes,
+        "obj_pose": poses,
+        "obj_scale": scales,
+        "sym_flag": sym,
+        "mug_handle": handles,
+        "obj_bbox": bboxes,
+        "score": scores,
+        "obj_pose_est": pose_est,
+        "obj_scale_est": scale_est,
+        "valid": valid,
+        "obj_mean_points": mean_points[classes],
+        "obj_mean_scales": mean_scales[classes],
+        "scene_im_id": record["scene_im_id"],
+        "n_insts": n,
+    }
+
+
+def _make_image_sampler(cfg: LoaderConfig):
+    """Jitted per-image device pipeline: backproject + masked ball-crop.
+    Returns pcls (M, num_pcl, 3)."""
+    from ..geom.transforms import backproject
+    from ..ops.sampling import batch_ball_crop
+
+    @jax.jit
+    def sample(key, depth, K, masks, poses, scales):
+        cloud = backproject(depth, K)
+        pcls, n_inside = batch_ball_crop(
+            key, cloud, masks, poses, scales,
+            ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
+        )
+        return pcls, n_inside
+
+    return sample
+
+
+class CATRELoader:
+    """Builds flattened instance batches for train or test.
+
+    Train (`build_catre_train_loader`, `data_loader.py:877-923`): infinite
+    shuffled epochs over images; batches of `ims_per_batch` images flattened
+    into one padded object batch. Ball radius uses the GT pose/scale
+    (train) or the external estimate (test), matching `read_data_train:584`
+    vs `read_data_test:758`.
+    """
+
+    def __init__(self, dataset_dicts: list, cfg: LoaderConfig, phase: str = "train",
+                 ims_per_batch: int = 16, seed: int = 0, max_objs_train: int = 128):
+        assert phase in ("train", "test")
+        self.dicts = dataset_dicts
+        self.cfg = cfg
+        self.phase = phase
+        self.ims_per_batch = ims_per_batch
+        self.max_objs_train = max_objs_train
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self._sampler = _make_image_sampler(cfg)
+        self._mean_points = assets.mean_shape_array()
+        self._mean_scales = meta.mean_scales_array()
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _process_image(self, record: dict) -> dict | None:
+        data = _gather_image_record(
+            record, self.cfg, self.phase, self.rng, self._mean_points, self._mean_scales
+        )
+        if data is None:
+            return None
+        # ball center/radius: gt pose at train, estimate at test
+        if self.phase == "train":
+            poses_for_crop, scales_for_crop = data["obj_pose"], data["obj_scale"]
+        else:
+            poses_for_crop, scales_for_crop = data["obj_pose_est"], data["obj_scale_est"]
+        pcls, n_inside = self._sampler(
+            self._next_key(), jnp.asarray(data["depth"]), jnp.asarray(data["K"]),
+            jnp.asarray(data["masks"]), jnp.asarray(poses_for_crop),
+            jnp.asarray(scales_for_crop),
+        )
+        data["pcl"] = np.asarray(pcls)
+        data["n_inside"] = np.asarray(n_inside)
+        return data
+
+    def _flatten(self, images: list) -> dict:
+        """Concatenate per-image padded instance arrays into one object batch."""
+        keys = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "mug_handle",
+                "obj_bbox", "score", "obj_pose_est", "obj_scale_est", "valid",
+                "obj_mean_points", "obj_mean_scales"]
+        batch = {k: np.concatenate([im[k] for im in images], axis=0) for k in keys}
+        m = self.cfg.max_objs_per_image
+        batch["K"] = np.concatenate(
+            [np.tile(im["K"][None], (m, 1, 1)) for im in images], axis=0
+        )
+        batch["im_id"] = np.concatenate(
+            [np.full(m, i, dtype=np.int32) for i, im in enumerate(images)]
+        )
+        batch["inst_id"] = np.concatenate([np.arange(m, dtype=np.int32) for _ in images])
+        batch["scene_im_ids"] = [im["scene_im_id"] for im in images]
+        return batch
+
+    def __iter__(self):
+        if self.phase == "train":
+            while True:
+                order = self.rng.permutation(len(self.dicts))
+                images = []
+                for idx in order:
+                    data = self._process_image(self.dicts[idx])
+                    if data is None:
+                        continue
+                    images.append(data)
+                    if len(images) == self.ims_per_batch:
+                        yield self._flatten(images)
+                        images = []
+        else:
+            for record in self.dicts:
+                data = self._process_image(record)
+                if data is None:
+                    yield {"scene_im_ids": [record["scene_im_id"]], "empty": True,
+                           "record": record}
+                    continue
+                yield self._flatten([data])

@@ -1,0 +1,153 @@
+"""Device-side point-cloud sampling (jit/vmap friendly, static shapes).
+
+Behavioral reference: `core/utils/cat_data_utils.py` — `crop_ball_from_pts`
+(:289, radius-growth loop + duplicate-pad + random choice),
+`crop_ball_from_depth_image` (:380, radius = ratio * ||R @ scale||),
+`sample_bp_depth` (:209, mask ∧ depth>0 flatten-gather), `random_sample`
+(:314), `farthest_point_sample` (:322).
+
+TPU-native design: the reference's dynamic-shape host gather becomes a
+masked top-k over a random priority field — fixed 1024-point output, no
+data-dependent shapes, vmappable across instances.  Selection is uniform
+without replacement among in-ball points (matching the reference's
+randperm); when fewer than `num_points` qualify, indices cycle (the
+reference duplicates the index list, same multiset up to ordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e30
+
+
+def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.ndarray,
+                      radius: jnp.ndarray, num_points: int, min_inside: int = 10,
+                      growth: float = 1.1, growth_steps: int = 10) -> tuple:
+    """Select `num_points` indices of `pts` inside a ball around `center`.
+
+    Args:
+      pts: (N, 3) candidate points (flattened organized cloud)
+      valid: (N,) bool — candidate validity (instance mask ∧ depth>0)
+      center: (3,) ball center (initial translation estimate)
+      radius: scalar initial radius (ratio * ||R @ scale||)
+      num_points: output size (static)
+    Returns:
+      (idx (num_points,) int32, n_inside scalar int32)
+    """
+    n = pts.shape[0]
+    dist = jnp.linalg.norm(pts - center[None, :], axis=-1)
+    dist = jnp.where(valid, dist, BIG)
+
+    radius = jnp.maximum(radius, 0.05)
+    # radius-growth loop (`crop_ball_from_pts:292-296`): radii r*g^k, pick the
+    # smallest k with >= min_inside points; all-valid fallback if none.
+    radii = radius * growth ** jnp.arange(growth_steps, dtype=dist.dtype)  # (G,)
+    counts = jnp.sum(dist[None, :] <= radii[:, None], axis=1)  # (G,)
+    ok = counts >= min_inside
+    k_first = jnp.argmax(ok)  # first True (0 if none — fixed below)
+    any_ok = jnp.any(ok)
+    eff_radius = jnp.where(any_ok, radii[k_first], BIG)  # fallback: all valid pts
+
+    inside = valid & (dist <= eff_radius)
+    n_inside = jnp.sum(inside).astype(jnp.int32)
+
+    # uniform-without-replacement among inside points via random priorities
+    priority = jax.random.uniform(key, (n,))
+    priority = jnp.where(inside, priority, BIG)
+    _, idx = jax.lax.top_k(-priority, num_points)
+    idx = idx.astype(jnp.int32)
+
+    # cycle when fewer than num_points qualify (duplicate-pad semantics)
+    j = jnp.arange(num_points, dtype=jnp.int32)
+    wrap = jnp.where(n_inside > 0, j % jnp.maximum(n_inside, 1), 0)
+    idx = jnp.where(j < n_inside, idx, idx[wrap])
+    return idx, n_inside
+
+
+def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points: int):
+    """Full ball-crop: radius from the pose/scale estimate
+    (`crop_ball_from_depth_image:380-400`), then index selection + gather.
+
+    Args:
+      pts: (N, 3); valid: (N,); pose: (3, 4); scale: (3,)
+    Returns:
+      (sampled (num_points, 3), idx, n_inside)
+    """
+    center = pose[:, 3]
+    radius = ratio * jnp.linalg.norm(pose[:, :3] @ scale)
+    idx, n_inside = ball_crop_indices(key, pts, valid, center, radius, num_points)
+    return pts[idx], idx, n_inside
+
+
+@partial(jax.jit, static_argnames=("ratio", "num_points"))
+def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndarray,
+                    scales: jnp.ndarray, ratio: float, num_points: int):
+    """Per-instance ball-crop over one image's organized cloud.
+
+    Args:
+      cloud: (H, W, 3) backprojected cloud (z == depth)
+      masks: (I, H, W) bool per-instance masks
+      poses: (I, 3, 4) initial poses; scales: (I, 3)
+    Returns:
+      (pcls (I, num_points, 3), n_inside (I,))
+    """
+    n_inst = masks.shape[0]
+    pts = cloud.reshape(-1, 3)
+    depth_ok = pts[:, 2] > 0
+    keys = jax.random.split(key, n_inst)
+
+    def one(k, mask, pose, scale):
+        valid = mask.reshape(-1) & depth_ok
+        sampled, _, n_in = crop_ball_from_cloud(k, pts, valid, pose, scale, ratio, num_points)
+        return sampled, n_in
+
+    return jax.vmap(one)(keys, masks, poses, scales)
+
+
+def farthest_point_indices(pts: jnp.ndarray, num_points: int,
+                           start_from_mean: bool = True) -> jnp.ndarray:
+    """Farthest point sampling over (M, 3) -> (num_points,) indices.
+
+    Matches `core/utils/farthest_points_torch.py:6-62` (mean-init: the first
+    selected point is the one farthest from the centroid).
+    """
+    m = pts.shape[0]
+    if start_from_mean:
+        d0 = jnp.linalg.norm(pts - pts.mean(axis=0, keepdims=True), axis=-1)
+        first = jnp.argmax(d0).astype(jnp.int32)
+    else:
+        first = jnp.int32(0)
+
+    def body(i, carry):
+        idx, min_dist = carry
+        last = pts[idx[i - 1]]
+        d = jnp.linalg.norm(pts - last[None, :], axis=-1)
+        min_dist = jnp.minimum(min_dist, d)
+        idx = idx.at[i].set(jnp.argmax(min_dist).astype(jnp.int32))
+        return idx, min_dist
+
+    idx0 = jnp.zeros(num_points, jnp.int32).at[0].set(first)
+    mind0 = jnp.full((m,), jnp.inf, dtype=pts.dtype)
+    idx, _ = jax.lax.fori_loop(1, num_points, body, (idx0, mind0))
+    return idx
+
+
+def random_sample_indices(key, n_candidates: int, num_points: int,
+                          n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Uniform sample without replacement (randperm[:k] semantics,
+    `cat_data_utils.py:314-320`), cycling when n_valid < num_points."""
+    priority = jax.random.uniform(key, (n_candidates,))
+    if n_valid is not None:
+        pos = jnp.arange(n_candidates)
+        priority = jnp.where(pos < n_valid, priority, BIG)
+    _, idx = jax.lax.top_k(-priority, num_points)
+    idx = idx.astype(jnp.int32)
+    if n_valid is not None:
+        j = jnp.arange(num_points, dtype=jnp.int32)
+        wrap = j % jnp.maximum(n_valid, 1)
+        idx = jnp.where(j < n_valid, idx, idx[wrap])
+    return idx

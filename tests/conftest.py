@@ -11,6 +11,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import os.path as osp  # noqa: E402
+
+# asset pickles (mean shapes, abs scales, mug meta) ship with the reference
+# dataset mount; point the data root there for tests
+if "CATRE_DATA_ROOT" not in os.environ and osp.isdir("/root/reference/datasets"):
+    os.environ["CATRE_DATA_ROOT"] = "/root/reference/datasets"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,119 @@
+"""Tests for device-side ball-crop / FPS / random sampling."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from catre_tpu.geom import backproject
+from catre_tpu.ops.sampling import (
+    ball_crop_indices,
+    batch_ball_crop,
+    farthest_point_indices,
+    random_sample_indices,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_ball_crop_basic():
+    # 200 points inside radius 0.1 of center, 300 outside
+    center = np.array([0.1, -0.05, 1.0], dtype=np.float32)
+    inside = (RNG.normal(size=(200, 3)) * 0.02 + center).astype(np.float32)
+    outside = (RNG.normal(size=(300, 3)) * 0.02 + center + 5.0).astype(np.float32)
+    pts = np.concatenate([inside, outside])
+    valid = np.ones(500, dtype=bool)
+
+    idx, n_inside = ball_crop_indices(
+        jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(valid),
+        jnp.asarray(center), jnp.float32(0.2), num_points=128,
+    )
+    assert int(n_inside) == 200
+    assert np.all(np.asarray(idx) < 200)  # only inside points selected
+    assert len(set(np.asarray(idx).tolist())) == 128  # without replacement
+
+
+def test_ball_crop_duplicates_when_scarce():
+    center = np.zeros(3, dtype=np.float32)
+    inside = (RNG.normal(size=(20, 3)) * 0.01).astype(np.float32)
+    outside = (RNG.normal(size=(100, 3)) * 0.01 + 10).astype(np.float32)
+    pts = np.concatenate([inside, outside])
+    idx, n_inside = ball_crop_indices(
+        jax.random.PRNGKey(1), jnp.asarray(pts), jnp.ones(120, dtype=bool),
+        jnp.asarray(center), jnp.float32(0.1), num_points=64,
+    )
+    assert int(n_inside) == 20
+    sel = np.asarray(idx)
+    assert np.all(sel < 20)
+    assert len(set(sel.tolist())) == 20  # all 20 present, cycled to 64
+
+
+def test_ball_crop_radius_growth():
+    # fewer than 10 points at the initial radius -> radius must grow x1.1
+    center = np.zeros(3, dtype=np.float32)
+    near = (RNG.normal(size=(5, 3)) * 0.005).astype(np.float32)  # within 0.05
+    ring = np.zeros((30, 3), dtype=np.float32)
+    ring[:, 0] = 0.058  # inside 0.05 * 1.1^2 = 0.0605, outside 0.055
+    pts = np.concatenate([near, ring])
+    idx, n_inside = ball_crop_indices(
+        jax.random.PRNGKey(2), jnp.asarray(pts), jnp.ones(35, dtype=bool),
+        jnp.asarray(center), jnp.float32(0.01), num_points=16,  # clamped to 0.05
+    )
+    assert int(n_inside) == 35  # growth picked up the ring
+
+
+def test_ball_crop_invalid_fallback():
+    # nothing within any grown radius -> all valid points used
+    center = np.zeros(3, dtype=np.float32)
+    pts = (RNG.normal(size=(50, 3)) + 100).astype(np.float32)
+    valid = np.zeros(50, dtype=bool)
+    valid[:30] = True
+    idx, n_inside = ball_crop_indices(
+        jax.random.PRNGKey(3), jnp.asarray(pts), jnp.asarray(valid),
+        jnp.asarray(center), jnp.float32(0.1), num_points=16,
+    )
+    assert int(n_inside) == 30
+    assert np.all(np.asarray(idx) < 30)
+
+
+def test_batch_ball_crop_from_depth():
+    K = np.array([[577.5, 0, 31.5], [0, 577.5, 23.5], [0, 0, 1]], dtype=np.float32)
+    depth = np.full((48, 64), 1.0, dtype=np.float32)
+    depth[:10, :10] = 0  # invalid region
+    cloud = backproject(jnp.asarray(depth), jnp.asarray(K))
+
+    masks = np.zeros((2, 48, 64), dtype=bool)
+    masks[0, 20:40, 20:50] = True
+    masks[1, 5:15, 5:30] = True  # overlaps invalid depth
+
+    poses = np.tile(np.concatenate([np.eye(3), [[0], [0], [1.0]]], axis=1), (2, 1, 1)).astype(np.float32)
+    scales = np.full((2, 3), 0.3, dtype=np.float32)
+
+    pcls, n_inside = batch_ball_crop(
+        jax.random.PRNGKey(4), cloud, jnp.asarray(masks), jnp.asarray(poses),
+        jnp.asarray(scales), ratio=0.6, num_points=256,
+    )
+    assert pcls.shape == (2, 256, 3)
+    assert int(n_inside[0]) > 0 and int(n_inside[1]) > 0
+    # all sampled points have depth 1.0 (mask ∧ depth>0 respected)
+    np.testing.assert_allclose(np.asarray(pcls)[..., 2], 1.0, atol=1e-6)
+
+
+def test_fps_spreads_points():
+    # clustered data: FPS must pick from all clusters
+    clusters = [RNG.normal(size=(50, 3)) * 0.01 + c for c in ([0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1])]
+    pts = np.concatenate(clusters).astype(np.float32)
+    idx = farthest_point_indices(jnp.asarray(pts), 4)
+    sel = np.asarray(pts)[np.asarray(idx)]
+    # pairwise distances all large
+    d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+    assert d[~np.eye(4, dtype=bool)].min() > 0.9
+
+
+def test_random_sample_without_replacement():
+    idx = random_sample_indices(jax.random.PRNGKey(5), 100, 50)
+    assert len(set(np.asarray(idx).tolist())) == 50
+    idx2 = random_sample_indices(jax.random.PRNGKey(6), 100, 50, n_valid=jnp.int32(10))
+    sel = np.asarray(idx2)
+    assert np.all(sel < 10)
+    assert len(set(sel.tolist())) == 10
