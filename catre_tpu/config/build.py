@@ -1,0 +1,102 @@
+"""Bridge from the UPPERCASE config tree to the framework's typed configs."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..data.loader import LoaderConfig
+from ..engine.train import InputNoiseConfig
+from ..losses import LossConfig
+from ..models import CATREConfig
+
+
+def _t(x):
+    """tuple-ify nested lists for hashable dataclass fields."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_t(v) for v in x)
+    return x
+
+
+def model_config_from(cfg) -> CATREConfig:
+    net = cfg.MODEL.CATRE
+    rot = net.ROT_HEAD
+    ts = net.TS_HEAD
+    return CATREConfig(
+        num_pcl=int(cfg.INPUT.NUM_PCL),
+        num_kps=int(cfg.INPUT.NUM_KPS),
+        pclnet_out_dim=int(net.PCLNET.INIT_CFG.get("out_dim", 1024)),
+        feature_transform=bool(net.PCLNET.INIT_CFG.get("feature_transform", True)),
+        rot_feat_dim=int(rot.INIT_CFG.get("feat_dim", 256)),
+        rot_num_layers=int(rot.INIT_CFG.get("num_layers", 2)),
+        rot_num_gn_groups=int(rot.INIT_CFG.get("num_gn_groups", 32)),
+        ts_feat_dim=int(ts.INIT_CFG.get("feat_dim", 256)),
+        ts_num_layers=int(ts.INIT_CFG.get("num_layers", 2)),
+        ts_num_gn_groups=int(ts.INIT_CFG.get("num_gn_groups", 32)),
+        ts_with_kps_feature=bool(ts.get("WITH_KPS_FEATURE", False)),
+        ts_with_init_scale=bool(ts.get("WITH_INIT_SCALE", False)),
+        ts_with_init_trans=bool(ts.get("WITH_INIT_TRANS", False)),
+        rot_type=rot.get("ROT_TYPE", "ego_rot6d"),
+        scale_type=rot.get("SCLAE_TYPE", "iter_add"),
+        delta_t_space=rot.get("DELTA_T_SPACE", "image"),
+        delta_t_weight=float(rot.get("DELTA_T_WEIGHT", 1.0)),
+        delta_z_style=rot.get("DELTA_Z_STYLE", "cosypose"),
+        t_transform_k_aware=bool(rot.get("T_TRANSFORM_K_AWARE", True)),
+        zero_center_input=bool(cfg.INPUT.get("ZERO_CENTER_INPUT", False)),
+        refine_scale=bool(cfg.MODEL.get("REFINE_SCLAE", True)),
+        dtype=jnp.bfloat16 if cfg.MODEL.get("BF16", False) else None,
+    )
+
+
+def loss_config_from(cfg) -> LossConfig:
+    lc = cfg.MODEL.CATRE.LOSS_CFG
+    return LossConfig(
+        pm_loss_type=lc.get("PM_LOSS_TYPE", "L1"),
+        pm_smooth_l1_beta=float(lc.get("PM_SMOOTH_L1_BETA", 1.0)),
+        pm_loss_sym=bool(lc.get("PM_LOSS_SYM", False)),
+        pm_r_only=bool(lc.get("PM_R_ONLY", False)),
+        pm_with_scale=bool(lc.get("PM_WITH_SCALE", True)),
+        pm_disentangle_t=bool(lc.get("PM_DISENTANGLE_T", False)),
+        pm_disentangle_z=bool(lc.get("PM_DISENTANGLE_Z", False)),
+        pm_t_use_points=bool(lc.get("PM_T_USE_POINTS", True)),
+        pm_lw=float(lc.get("PM_LW", 1.0)),
+        rot_loss_type=lc.get("ROT_LOSS_TYPE", "angular"),
+        rot_yaxis_loss_type=lc.get("ROT_YAXIS_LOSS_TYPE", "L1"),
+        rot_lw=float(lc.get("ROT_LW", 0.0)),
+        trans_loss_type=lc.get("TRANS_LOSS_TYPE", "L1"),
+        trans_loss_disentangle=bool(lc.get("TRANS_LOSS_DISENTANGLE", True)),
+        trans_lw=float(lc.get("TRANS_LW", 0.0)),
+        scale_loss_type=lc.get("SCALE_LOSS_TYPE", "L1"),
+        scale_lw=float(lc.get("SCALE_LW", 0.0)),
+    )
+
+
+def noise_config_from(cfg) -> InputNoiseConfig:
+    inp = cfg.INPUT
+    return InputNoiseConfig(
+        noise_rot_std=_t(inp.get("NOISE_ROT_STD_TRAIN", (15, 10, 5, 2.5))),
+        noise_trans_std=_t(inp.get("NOISE_TRANS_STD_TRAIN")),
+        noise_scale_std=_t(inp.get("NOISE_SCALE_STD_TRAIN")),
+        noise_rot_max=float(inp.get("NOISE_ROT_MAX_TRAIN", 45)),
+        init_trans_min_z=float(inp.get("INIT_TRANS_MIN_Z", 0.1)),
+        init_scale_min=float(inp.get("INIT_SCALE_MIN", 0.04)),
+        bbox3d_aug_prob=float(inp.get("BBOX3D_AUG_PROB", 0.0)),
+        rt_aug_prob=float(inp.get("RT_AUG_PROB", 0.0)),
+    )
+
+
+def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
+    inp = cfg.INPUT
+    return LoaderConfig(
+        num_pcl=int(inp.NUM_PCL),
+        depth_sample_ball_ratio=float(inp.get("DEPTH_SAMPLE_BALL_RATIO", 0.5)),
+        sample_depth_from_ball=bool(inp.get("SAMPLE_DEPTH_FROM_BALL", True)),
+        fps_sample=bool(inp.get("FPS_SAMPLE", False)),
+        aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
+        max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
+        bbox_type_test=inp.get("BBOX_TYPE_TEST", "est"),
+        init_pose_type_test=inp.get("INIT_POSE_TYPE_TEST", "est"),
+        noise_rot_std_test=float(inp.get("NOISE_ROT_STD_TEST", 15)),
+        noise_rot_max_test=float(inp.get("NOISE_ROT_MAX_TEST", 45)),
+        noise_trans_std_test=_t(inp.get("NOISE_TRANS_STD_TEST")),
+        noise_scale_std_test=_t(inp.get("NOISE_SCALE_STD_TEST")),
+    )

@@ -1,0 +1,200 @@
+# Base configuration tree. Mirrors the reference's defaults
+# (`configs/_base_/common_base.py` + `configs/_base_/catre_base.py`) for the
+# keys this framework consumes; UPPERCASE dict-tree shape is preserved so the
+# shipped experiment configs translate ~1:1.
+
+OUTPUT_ROOT = "output"
+OUTPUT_DIR = ""
+EXP_NAME = ""
+DEBUG = False
+SEED = -1
+
+INPUT = dict(
+    FORMAT="BGR",
+    WITH_DEPTH=True,
+    AUG_DEPTH=False,
+    WITH_IMG=False,
+    WITH_PCL=True,
+    SAMPLE_DEPTH_FROM_BALL=True,
+    DEPTH_SAMPLE_BALL_RATIO=0.5,
+    FPS_SAMPLE=False,
+    MAX_SYM_DISC_STEP=0.01,
+    BBOX_TYPE_TEST="est",  # est | gt
+    INIT_POSE_TYPE_TRAIN=["gt_noise"],  # gt_noise | random | canonical | last_frame
+    INIT_SCALE_TYPE_TRAIN=["gt_noise"],
+    INIT_POSE_TYPE_TEST="est",  # gt_noise | est | canonical
+    NOISE_ROT_STD_TRAIN=(15, 10, 5, 2.5),
+    NOISE_ROT_STD_TEST=15,
+    NOISE_ROT_MAX_TRAIN=45,
+    NOISE_ROT_MAX_TEST=45,
+    NOISE_TRANS_STD_TRAIN=[(0.01, 0.01, 0.005), (0.01, 0.01, 0.01), (0.005, 0.005, 0.01)],
+    NOISE_TRANS_STD_TEST=[(0.01, 0.01, 0.005), (0.01, 0.01, 0.01), (0.005, 0.005, 0.01)],
+    INIT_TRANS_MIN_Z=0.1,
+    NOISE_SCALE_STD_TRAIN=[(0.001, 0.005, 0.001), (0.005, 0.001, 0.005), (0.01, 0.01, 0.01)],
+    NOISE_SCALE_STD_TEST=[(0.001, 0.005, 0.001), (0.005, 0.001, 0.005), (0.01, 0.01, 0.01)],
+    INIT_SCALE_MIN=0.04,
+    RANDOM_TRANS_MIN=[-0.35, -0.35, 0.5],
+    RANDOM_TRANS_MAX=[0.35, 0.35, 1.3],
+    RANDOM_SCALE_MIN=[0.04, 0.04, 0.04],
+    RANDOM_SCALE_MAX=[0.5, 0.3, 0.4],
+    MEAN_MODEL_PATH="datasets/NOCS/obj_models/cr_normed_mean_model_points_spd.pkl",
+    KPS_TYPE="bbox",  # bbox | mean_shape | fps | axis
+    WITH_NEG_AXIS=False,
+    BBOX3D_AUG_PROB=0.0,
+    RT_AUG_PROB=0.0,
+    NUM_KPS=32,
+    NUM_PCL=1500,
+    ZERO_CENTER_INPUT=False,
+    CANONICAL_ROT=[(1, 0, 0, 0.5), (0, 0, 1, -0.7)],
+    CANONICAL_TRANS=[0, 0, 1.0],
+    CANONICAL_SIZE=[0.2, 0.2, 0.2],
+    OCCLUDE_MASK_TEST=False,
+)
+
+DATALOADER = dict(
+    NUM_WORKERS=4,
+    MAX_OBJS_TRAIN=120,
+    MAX_OBJS_PER_IMAGE=8,
+    FILTER_VISIB_THR=0.0,
+)
+
+SOLVER = dict(
+    IMS_PER_BATCH=16,
+    TOTAL_EPOCHS=120,
+    OPTIMIZER_CFG=dict(type="Ranger", lr=1e-4, weight_decay=0),
+    GAMMA=0.1,
+    LR_SCHEDULER_NAME="flat_and_anneal",
+    WARMUP_METHOD="linear",
+    WARMUP_FACTOR=1e-3,
+    WARMUP_ITERS=1000,
+    ANNEAL_METHOD="cosine",
+    ANNEAL_POINT=0.72,
+    TARGET_LR_FACTOR=0.0,
+    POLY_POWER=1.0,
+    REL_STEPS=(0.5, 0.75),
+    CHECKPOINT_PERIOD=5,  # epochs (CHECKPOINT_BY_EPOCH)
+    CHECKPOINT_BY_EPOCH=True,
+    MAX_TO_KEEP=5,
+    CLIP_GRADIENTS=dict(ENABLED=False, CLIP_TYPE="value", CLIP_VALUE=1.0),
+)
+
+DATASETS = dict(
+    TRAIN=(),
+    TRAIN2=(),
+    TRAIN2_RATIO=0.0,
+    TEST=(),
+    INIT_POSE_FILES_TEST=(),
+    DET_THR=0.0,
+)
+
+MODEL = dict(
+    DEVICE="tpu",
+    WEIGHTS="",
+    PIXEL_MEAN=[0.0, 0.0, 0.0],
+    PIXEL_STD=[255.0, 255.0, 255.0],
+    LOAD_POSES_TEST=False,
+    REFINE_SCLAE=True,  # (sic) keep the reference's key spelling
+    BF16=False,         # TPU-native: bf16 compute for the encoder/heads
+    CATRE=dict(
+        NAME="CATRE_disR_shared",
+        TASK="refine",
+        NUM_CLASSES=6,
+        N_ITER_TRAIN=4,
+        N_ITER_TRAIN_WARM_EPOCH=4,
+        N_ITER_TEST=4,
+        USE_MTL=False,
+        PCLNET=dict(
+            FREEZE=False,
+            INIT_CFG=dict(
+                type="point_net",
+                num_points=1500,
+                global_feat=False,
+                feature_transform=True,
+                out_dim=1024,
+            ),
+        ),
+        ROT_HEAD=dict(
+            FREEZE=False,
+            ROT_TYPE="ego_rot6d",  # {ego|allo}_rot6d
+            CLASS_AWARE=False,
+            INIT_CFG=dict(
+                type="ConvOutPerRotHead",
+                in_dim=1088,
+                num_layers=2,
+                kernel_size=1,
+                feat_dim=256,
+                norm="GN",
+                num_gn_groups=32,
+                act="gelu",
+                num_points=1500 + 32,
+                rot_dim=3,
+                norm_input=False,
+            ),
+            LR_MULT=1.0,
+            DELTA_T_SPACE="image",  # image | 3D
+            DELTA_T_WEIGHT=1.0,
+            T_TRANSFORM_K_AWARE=True,
+            DELTA_Z_STYLE="cosypose",  # cosypose | deepim
+            SCLAE_TYPE="iter_add",  # {iter|mean}_{add|mul}
+        ),
+        TS_HEAD=dict(
+            WITH_KPS_FEATURE=True,
+            WITH_INIT_SCALE=False,
+            WITH_INIT_TRANS=False,
+            FREEZE=False,
+            INIT_CFG=dict(
+                type="FC_TransSizeHead",
+                in_dim=1088,
+                num_layers=2,
+                feat_dim=256,
+                norm="GN",
+                num_gn_groups=32,
+                act="gelu",
+                norm_input=False,
+            ),
+            LR_MULT=1.0,
+        ),
+        LOSS_CFG=dict(
+            PM_LOSS_TYPE="L1",
+            PM_SMOOTH_L1_BETA=1.0,
+            PM_LOSS_SYM=False,
+            PM_R_ONLY=False,
+            PM_WITH_SCALE=True,
+            PM_DISENTANGLE_T=False,
+            PM_DISENTANGLE_Z=False,
+            PM_T_USE_POINTS=True,
+            PM_USE_BBOX=False,
+            PM_LW=1.0,
+            ROT_LOSS_TYPE="angular",
+            ROT_YAXIS_LOSS_TYPE="L1",
+            ROT_LW=0.0,
+            TRANS_LOSS_TYPE="L1",
+            TRANS_LOSS_DISENTANGLE=True,
+            TRANS_LW=0.0,
+            SCALE_LOSS_TYPE="L1",
+            SCALE_LW=0.0,
+        ),
+    ),
+)
+
+TRAIN = dict(PRINT_FREQ=100, VIS=False, VIS_IMG=False)
+VAL = dict(
+    DATASET_NAME="nocs",
+    SCORES_PATH="",
+    RESULTS_PATH="",
+    ERROR_TYPES="ad,rete,re,te,proj",
+    N_TOP=1,
+    EVAL_CACHED=False,
+    SCORE_ONLY=False,
+    EVAL_PRINT_ONLY=False,
+    EVAL_PRECISION=False,
+    USE_BOP=False,
+)
+TEST = dict(
+    EVAL_PERIOD=0,
+    VIS=False,
+    SAVE_RESULTS_ONLY=False,
+    TEST_BBOX_TYPE="gt",
+    USE_PNP=False,
+    AMP_TEST=False,
+)

@@ -1,0 +1,214 @@
+"""Dataset evaluator: collects per-image predictions for refine iters 0..N
+and scores them with the fixed-IoU NOCS protocol.
+
+Behavioral reference: `core/catre/engine/catre_custom_evaluator.py:33-330`
+(CATRE_EvaluatorCustom — reset/process/evaluate protocol, gt assembly from
+dataset dicts, per-iteration mAP tables) and
+`core/catre/engine/catre_evaluator.py:225-369` (timed inference loop).
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import os
+import os.path as osp
+import pickle
+import time
+
+import numpy as np
+
+from ..data import meta
+from ..geom.transforms import pose_3x4_to_4x4
+from .nocs_eval import SYNSET_NAMES, compute_independent_mAP
+
+logger = logging.getLogger(__name__)
+
+
+class CATREEvaluator:
+    """Accumulates predictions (per refine iteration) and computes the NOCS
+    REAL275 metric tables."""
+
+    def __init__(self, dataset_dicts: list, n_iters: int = 4, output_dir: str | None = None,
+                 use_matches_for_pose: bool = True):
+        self.n_iters = n_iters
+        self.output_dir = output_dir
+        self.use_matches_for_pose = use_matches_for_pose
+        self._gts = self._build_gts(dataset_dicts)
+        self.reset()
+
+    # -------------------------------------------------- gt
+    @staticmethod
+    def _build_gts(dataset_dicts: list) -> dict:
+        """scene_im_id -> gt dict (`catre_custom_evaluator.py:81-102`)."""
+        gts = {}
+        for rec in dataset_dicts:
+            annos = rec.get("gt_annotations", rec.get("annotations", []))
+            cls_ids, RTs, scales, handles = [], [], [], []
+            for a in annos:
+                if "pose" not in a:
+                    continue
+                cls_ids.append(a["category_id"] + 1)  # 1-based for the protocol
+                RTs.append(np.asarray(pose_3x4_to_4x4(a["pose"][None]))[0])
+                scales.append(a["scale"])
+                handles.append(a.get("mug_handle", 1))
+            gts[rec["scene_im_id"]] = {
+                "gt_class_ids": np.asarray(cls_ids, dtype=np.int32),
+                "gt_RTs": np.asarray(RTs).reshape(-1, 4, 4),
+                "gt_scales": np.asarray(scales, dtype=np.float32).reshape(-1, 3),
+                "gt_handle_visibility": np.asarray(handles, dtype=np.int32),
+            }
+        return gts
+
+    # -------------------------------------------------- protocol
+    def reset(self) -> None:
+        # refine_i -> scene_im_id -> prediction dict
+        self._preds = [dict() for _ in range(self.n_iters + 1)]
+
+    def process(self, scene_im_id: str, refine_i: int, poses_4x4: np.ndarray,
+                scales: np.ndarray, class_ids_1based: np.ndarray,
+                scores: np.ndarray, bboxes_yxyx: np.ndarray) -> None:
+        """Store one image's predictions for one refine iteration
+        (`catre_custom_evaluator.py:121-176`)."""
+        self._preds[refine_i][scene_im_id] = {
+            "pred_RTs": np.asarray(poses_4x4),
+            "pred_scales": np.asarray(scales),
+            "pred_class_ids": np.asarray(class_ids_1based, dtype=np.int32),
+            "pred_scores": np.asarray(scores),
+            "pred_bboxes": np.asarray(bboxes_yxyx),
+        }
+
+    # -------------------------------------------------- scoring
+    def evaluate(self, dump: bool = True) -> dict:
+        """Per-iteration mAP tables. Returns
+        {iter_i: {"iou_aps": ..., "pose_aps": ..., "summary": {...}}}."""
+        # threshold lists of the reference evaluator
+        # (`catre_custom_evaluator.py:248-251`)
+        iou_thres_list = [0.1, 0.25, 0.50, 0.75]
+        degree_thres_list = [5, 10]
+        shift_thres_list = [2, 5, 10]
+
+        if dump and self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            with open(osp.join(self.output_dir, "predictions.pkl"), "wb") as f:
+                pickle.dump(self._preds, f)
+
+        empty_pred = {
+            "pred_RTs": np.zeros((0, 4, 4)),
+            "pred_scales": np.zeros((0, 3)),
+            "pred_class_ids": np.zeros(0, dtype=np.int32),
+            "pred_scores": np.zeros(0),
+            "pred_bboxes": np.zeros((0, 4)),
+        }
+
+        out = {}
+        for refine_i in range(self.n_iters + 1):
+            if not self._preds[refine_i]:
+                continue
+            # merge over ALL gt images; un-predicted images get empty preds
+            # (`catre_custom_evaluator.py:239-246`)
+            final_results = []
+            for scene_im_id, gt in self._gts.items():
+                result = dict(gt)
+                result.update(self._preds[refine_i].get(scene_im_id, empty_pred))
+                final_results.append(result)
+            iou_aps, pose_aps = compute_independent_mAP(
+                final_results, SYNSET_NAMES,
+                degree_thresholds=degree_thres_list,
+                shift_thresholds=shift_thres_list,
+                iou_3d_thresholds=iou_thres_list,
+                use_matches_for_pose=self.use_matches_for_pose,
+            )
+            # (deg, shift) indices; -1 = the appended 360/100 sentinel column
+            summary = {
+                "IoU25": iou_aps[-1, 1] * 100,
+                "IoU50": iou_aps[-1, 2] * 100,
+                "IoU75": iou_aps[-1, 3] * 100,
+                "re5te2": pose_aps[-1, 0, 0] * 100,
+                "re5te5": pose_aps[-1, 0, 1] * 100,
+                "re10te2": pose_aps[-1, 1, 0] * 100,
+                "re10te5": pose_aps[-1, 1, 1] * 100,
+                "re10te10": pose_aps[-1, 1, 2] * 100,
+                "re5": pose_aps[-1, 0, -1] * 100,
+                "re10": pose_aps[-1, 1, -1] * 100,
+                "te2": pose_aps[-1, -1, 0] * 100,
+                "te5": pose_aps[-1, -1, 1] * 100,
+            }
+            out[refine_i] = {"iou_aps": iou_aps, "pose_aps": pose_aps, "summary": summary}
+            logger.info("refine iter %d: %s", refine_i,
+                        {k: round(v, 2) for k, v in summary.items()})
+            if dump and self.output_dir:
+                self._dump_table(refine_i, iou_aps, pose_aps, summary)
+        return out
+
+    def _dump_table(self, refine_i: int, iou_aps, pose_aps, summary: dict) -> None:
+        """Per-class table like the reference's tabulate dump
+        (`catre_custom_evaluator.py:263-325`)."""
+        rows = [["objects"] + meta.OBJECTS + ["Avg(6)"]]
+        specs = [("IoU25", iou_aps[:, 1]), ("IoU50", iou_aps[:, 2]), ("IoU75", iou_aps[:, 3]),
+                 ("re5te2", pose_aps[:, 0, 0]), ("re5te5", pose_aps[:, 0, 1]),
+                 ("re10te2", pose_aps[:, 1, 0]), ("re10te5", pose_aps[:, 1, 1]),
+                 ("re10te10", pose_aps[:, 1, 2]),
+                 ("re5", pose_aps[:, 0, -1]), ("re10", pose_aps[:, 1, -1]),
+                 ("te2", pose_aps[:, -1, 0]), ("te5", pose_aps[:, -1, 1])]
+        for name, col in specs:
+            rows.append([name] + [f"{100*col[i]:.2f}" for i in range(1, 7)] + [f"{100*col[-1]:.2f}"])
+        widths = [max(len(r[c]) for r in rows) for c in range(len(rows[0]))]
+        lines = ["  ".join(v.ljust(widths[c]) for c, v in enumerate(r)) for r in rows]
+        path = osp.join(self.output_dir, f"metrics_tab_iter{refine_i}.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        logger.info("refine iter %d table:\n%s", refine_i, "\n".join(lines))
+
+
+def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
+                  n_iters: int, warmup: int = 1) -> dict:
+    """Timed inference over a test loader (mirrors
+    `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
+    total / pure-compute / post-process accounting; iter-0 predictions are
+    the initial estimates."""
+    import jax.numpy as jnp
+
+    total_compute = 0.0
+    total_process = 0.0
+    n_images = 0
+    start = time.perf_counter()
+
+    for i, batch in enumerate(loader):
+        if batch.get("empty"):
+            continue
+        t0 = time.perf_counter()
+        poses, scales = refine_fn(
+            params, jnp.asarray(batch["pcl"]), jnp.asarray(batch["obj_mean_points"]),
+            jnp.asarray(batch["obj_pose_est"]), jnp.asarray(batch["obj_scale_est"]),
+            jnp.asarray(batch["K"]), jnp.asarray(batch["obj_mean_scales"]),
+        )
+        poses = np.asarray(poses)  # sync (block_until_ready unreliable on axon)
+        scales = np.asarray(scales)
+        if i >= warmup:
+            total_compute += time.perf_counter() - t0
+            n_images += 1
+
+        t1 = time.perf_counter()
+        valid = np.asarray(batch["valid"])
+        scene_im_id = batch["scene_im_ids"][0]
+        cls1 = np.asarray(batch["obj_cls"])[valid] + 1
+        scores = np.asarray(batch["score"])[valid]
+        bboxes_xyxy = np.asarray(batch["obj_bbox"])[valid]
+        bboxes_yxyx = bboxes_xyxy[:, [1, 0, 3, 2]]
+        for refine_i in range(n_iters + 1):
+            p44 = np.asarray(pose_3x4_to_4x4(poses[refine_i][valid]))
+            evaluator.process(scene_im_id, refine_i, p44, scales[refine_i][valid],
+                              cls1, scores, bboxes_yxyx)
+        if i >= warmup:
+            total_process += time.perf_counter() - t1
+
+    wall = time.perf_counter() - start
+    stats = {
+        "images": n_images,
+        "total_s": wall,
+        "compute_s_per_img": total_compute / max(n_images, 1),
+        "process_s_per_img": total_process / max(n_images, 1),
+    }
+    logger.info("inference stats: %s", stats)
+    return stats

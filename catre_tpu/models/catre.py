@@ -85,11 +85,17 @@ class CATREDisRShared(nn.Module):
             dtype=cfg.dtype,
             name="pcl_net",
         )
-        # Shared weights over both clouds: stack along batch (ref calls the
-        # net twice with the same weights, CATRE_disR_shared.py:66-67).
-        both = jnp.concatenate([x, tfd_kps], axis=0)  # (2B, P, 3)
-        feats = pcl_net(both)  # (2B, P, C=out_dim+64)
-        pcl_feat, kps_feat = feats[:B], feats[B:]
+        # Shared weights over both clouds (ref calls the net twice with the
+        # same weights, CATRE_disR_shared.py:66-67). When point counts match
+        # (the shipped config: 1024/1024) both clouds run in ONE batched
+        # encoder call — bigger matmuls, weights read from HBM once.
+        if x.shape[1] == tfd_kps.shape[1]:
+            both = jnp.concatenate([x, tfd_kps], axis=0)  # (2B, P, 3)
+            feats = pcl_net(both)  # (2B, P, C=out_dim+64)
+            pcl_feat, kps_feat = feats[:B], feats[B:]
+        else:
+            pcl_feat = pcl_net(x)
+            kps_feat = pcl_net(tfd_kps)
 
         flat_pcl_feat = jnp.max(pcl_feat, axis=1)  # (B, C)
         if cfg.ts_with_kps_feature:

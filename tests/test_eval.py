@@ -1,0 +1,115 @@
+"""Golden tests: our NOCS fixed-IoU mAP implementation vs the reference's
+standalone `test_utils.py` (importable without torch/mmcv) on randomized
+synthetic predictions."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from catre_tpu.eval.nocs_eval import (
+    SYNSET_NAMES,
+    compute_3d_iou_new,
+    compute_RT_degree_cm_symmetry,
+    compute_ap_from_matches_scores,
+    compute_independent_mAP,
+)
+
+sys.path.insert(0, "/root/reference")
+
+ref_tu = pytest.importorskip("core.catre.engine.test_utils")
+
+RNG = np.random.default_rng(5)
+
+
+def _rand_rot():
+    a = RNG.normal(size=(3, 3))
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diagonal(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+def _rand_rt():
+    RT = np.eye(4)
+    RT[:3, :3] = _rand_rot()
+    RT[:3, 3] = RNG.normal(size=3) * 0.3 + [0, 0, 1]
+    return RT
+
+
+def _rand_result(n_gt=4, n_pred=5):
+    gt_class_ids = RNG.integers(1, 7, size=n_gt)
+    pred_class_ids = RNG.integers(1, 7, size=n_pred)
+    # make some predictions overlap gt
+    gt_RTs = np.stack([_rand_rt() for _ in range(n_gt)])
+    pred_RTs = np.stack([_rand_rt() for _ in range(n_pred)])
+    for i in range(min(n_gt, n_pred) - 1):
+        pred_RTs[i] = gt_RTs[i].copy()
+        pred_RTs[i][:3, 3] += RNG.normal(size=3) * 0.01
+        pred_class_ids[i] = gt_class_ids[i]
+    gt_scales = RNG.uniform(0.1, 0.4, size=(n_gt, 3))
+    pred_scales = gt_scales[: n_pred].copy() if n_pred <= n_gt else np.concatenate(
+        [gt_scales, RNG.uniform(0.1, 0.4, size=(n_pred - n_gt, 3))]
+    )
+    pred_scales = pred_scales * RNG.uniform(0.9, 1.1, size=pred_scales.shape)
+    return {
+        "gt_class_ids": gt_class_ids.astype(np.int32),
+        "gt_RTs": gt_RTs,
+        "gt_scales": gt_scales,
+        "gt_handle_visibility": RNG.integers(0, 2, size=n_gt),
+        "pred_bboxes": RNG.uniform(1, 400, size=(n_pred, 4)),
+        "pred_class_ids": pred_class_ids.astype(np.int32),
+        "pred_scales": pred_scales,
+        "pred_scores": RNG.uniform(0.3, 1.0, size=n_pred),
+        "pred_RTs": pred_RTs,
+    }
+
+
+def test_iou_matches_reference():
+    for _ in range(20):
+        RT1, RT2 = _rand_rt(), _rand_rt()
+        s1 = RNG.uniform(0.1, 0.4, size=3)
+        s2 = RNG.uniform(0.1, 0.4, size=3)
+        for cname, hv in [("bottle", 1), ("mug", 0), ("mug", 1), ("camera", 1)]:
+            ours = compute_3d_iou_new(RT1, RT2, s1, s2, hv, cname, cname)
+            ref = ref_tu.compute_3d_iou_new(RT1, RT2, s1, s2, hv, cname, cname)
+            assert ours == pytest.approx(ref, abs=1e-9), (cname, hv)
+
+
+def test_rt_error_matches_reference():
+    for _ in range(20):
+        RT1, RT2 = _rand_rt(), _rand_rt()
+        for cls_id in range(1, 7):
+            for hv in (0, 1):
+                ours = compute_RT_degree_cm_symmetry(RT1, RT2, cls_id, hv, SYNSET_NAMES)
+                ref = ref_tu.compute_RT_degree_cm_symmetry(RT1, RT2, cls_id, hv, SYNSET_NAMES)
+                np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_ap_matches_reference():
+    for _ in range(10):
+        n = 20
+        pred_match = RNG.choice([-1, 0, 1, 2], size=n).astype(float)
+        scores = RNG.uniform(size=n)
+        gt_match = RNG.choice([-1, 0, 1], size=8).astype(float)
+        ours = compute_ap_from_matches_scores(pred_match.copy(), scores.copy(), gt_match.copy())
+        ref = ref_tu.compute_ap_from_matches_scores(pred_match.copy(), scores.copy(), gt_match.copy())
+        assert ours == pytest.approx(ref, abs=1e-12)
+
+
+def test_full_map_matches_reference():
+    results = [_rand_result(4, 5), _rand_result(3, 3), _rand_result(5, 2)]
+    kwargs = dict(
+        degree_thresholds=[5, 10],
+        shift_thresholds=[2, 5],
+        iou_3d_thresholds=[0.10, 0.25, 0.50, 0.75],
+    )
+    ours_iou, ours_pose = compute_independent_mAP(
+        [dict(r) for r in results], SYNSET_NAMES, **kwargs
+    )
+    ref_iou, ref_pose = ref_tu.compute_independent_mAP(
+        [dict(r) for r in results], SYNSET_NAMES, **kwargs
+    )
+    np.testing.assert_allclose(ours_iou, ref_iou, atol=1e-9)
+    np.testing.assert_allclose(ours_pose, ref_pose, atol=1e-9)
