@@ -1,0 +1,264 @@
+"""Train / test drivers wired from a config tree.
+
+Behavioral reference: `core/catre/engine/engine.py` (do_train:164, do_test:131)
+— epoch-from-iteration loop, refine-iteration warmup (1 -> N over the first
+N_ITER_TRAIN_WARM_EPOCH epochs, `engine.py:273-278`), TRAIN2 ratio mixing,
+per-outer-iteration scheduler step, periodic checkpoint/eval, writer cadence.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config.build import (
+    loader_config_from,
+    loss_config_from,
+    model_config_from,
+    noise_config_from,
+)
+from ..data import meta
+from ..data.loader import CATRELoader
+from ..data.nocs import get_dataset_dicts, load_init_poses_into_dataset
+from ..engine.refiner import make_refine_fn
+from ..engine.train import TrainState, make_train_step
+from ..eval import CATREEvaluator, run_inference
+from ..geom.symmetry import axis_symmetry_rotation_bank
+from ..models import CATREDisRShared, init_params
+from ..solver import build_optimizer
+from ..solver.schedule import build_lr_fn
+from ..utils import checkpoint as ckpt
+from ..utils.events import EventStorage, JSONWriter, MetricPrinter, TensorboardWriter
+
+logger = logging.getLogger(__name__)
+
+
+def build_model(cfg):
+    mcfg = model_config_from(cfg)
+    model = CATREDisRShared(mcfg)
+    params = init_params(model, mcfg, jax.random.PRNGKey(max(cfg.get("SEED", 0), 0)))
+    if cfg.MODEL.get("WEIGHTS", ""):
+        path = cfg.MODEL.WEIGHTS
+        if path.endswith((".pth", ".pkl")):
+            logger.info("loading torch checkpoint %s", path)
+            params = ckpt.load_torch_checkpoint(path)
+        else:
+            logger.info("loading orbax checkpoint %s", path)
+            restored = ckpt.load_checkpoint(path, {"params": params})
+            params = restored["params"]
+    return model, mcfg, params
+
+
+def _get_train_dicts(cfg, names):
+    dicts = []
+    for name in names:
+        dicts.extend(get_dataset_dicts(name))
+    return dicts
+
+
+def _batch_to_device(batch: dict) -> dict:
+    keep = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "valid",
+            "obj_mean_points", "obj_mean_scales", "K"]
+    out = {k: jnp.asarray(batch[k]) for k in keep}
+    out["obj_kps"] = out["obj_mean_points"]  # KPS_TYPE=mean_shape (shipped)
+    return out
+
+
+def do_train(cfg, resume: bool = False) -> None:
+    output_dir = cfg.OUTPUT_DIR
+    os.makedirs(output_dir, exist_ok=True)
+
+    model, mcfg, params = build_model(cfg)
+    tx = build_optimizer(cfg.SOLVER)
+    opt_state = tx.init(params)
+    state = TrainState(params, opt_state, jnp.zeros([], jnp.int32))
+
+    # data -------------------------------------------------------------
+    train_dicts = _get_train_dicts(cfg, cfg.DATASETS.TRAIN)
+    if not train_dicts:
+        raise FileNotFoundError(
+            f"no training data found for {cfg.DATASETS.TRAIN} under {meta.NOCS_ROOT}"
+        )
+    loader_cfg = loader_config_from(cfg, "train")
+    loader = CATRELoader(
+        train_dicts, loader_cfg, phase="train",
+        ims_per_batch=int(cfg.SOLVER.IMS_PER_BATCH),
+        seed=max(cfg.get("SEED", 0), 0),
+        max_objs_train=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
+    )
+    loader_iter = iter(loader)
+
+    train2 = cfg.DATASETS.get("TRAIN2", ())
+    train2_ratio = float(cfg.DATASETS.get("TRAIN2_RATIO", 0.0))
+    loader2_iter = None
+    if train2 and train2_ratio > 0:
+        dicts2 = _get_train_dicts(cfg, train2)
+        loader2_iter = iter(CATRELoader(
+            dicts2, loader_cfg, phase="train",
+            ims_per_batch=int(cfg.SOLVER.IMS_PER_BATCH), seed=1 + max(cfg.get("SEED", 0), 0),
+        ))
+
+    ims_per_batch = int(cfg.SOLVER.IMS_PER_BATCH)
+    iters_per_epoch = max(len(train_dicts) // ims_per_batch, 1)
+    total_epochs = int(cfg.SOLVER.TOTAL_EPOCHS)
+    max_iter = total_epochs * iters_per_epoch
+    lr_fn = build_lr_fn(dict(cfg.SOLVER), max_iter)
+    logger.info("dataset %d images; %d iters/epoch; %d total iters",
+                len(train_dicts), iters_per_epoch, max_iter)
+
+    # train steps per refine-iteration count (warmup recompiles <= N times)
+    loss_cfg = loss_config_from(cfg)
+    noise_cfg = noise_config_from(cfg)
+    sym_bank = axis_symmetry_rotation_bank(
+        max_sym_disc_step=float(cfg.INPUT.get("MAX_SYM_DISC_STEP", 0.01))
+    )
+    n_iter_train = max(1, int(cfg.MODEL.CATRE.N_ITER_TRAIN))
+    warm_epochs = int(cfg.MODEL.CATRE.N_ITER_TRAIN_WARM_EPOCH)
+    step_fns = {}
+
+    def get_step_fn(n):
+        if n not in step_fns:
+            step_fns[n] = make_train_step(model, mcfg, loss_cfg, noise_cfg, tx, sym_bank, n)
+        return step_fns[n]
+
+    # resume -----------------------------------------------------------
+    start_iter = 0
+    ckpt_dir = osp.join(output_dir, "ckpt")
+    if resume:
+        latest = ckpt.latest_step(ckpt_dir)
+        if latest is not None:
+            state = ckpt.load_checkpoint(ckpt_dir, state)
+            start_iter = int(latest) + 1
+            logger.info("resumed from iteration %d", start_iter)
+
+    ckpt_period = (int(cfg.SOLVER.CHECKPOINT_PERIOD) * iters_per_epoch
+                   if cfg.SOLVER.get("CHECKPOINT_BY_EPOCH", True)
+                   else int(cfg.SOLVER.CHECKPOINT_PERIOD))
+    eval_period = int(cfg.TEST.get("EVAL_PERIOD", 0))
+    print_freq = int(cfg.TRAIN.get("PRINT_FREQ", 100))
+
+    storage = EventStorage(start_iter)
+    writers = [MetricPrinter(max_iter), JSONWriter(osp.join(output_dir, "metrics.json")),
+               TensorboardWriter(osp.join(output_dir, "tb"))]
+
+    key = jax.random.PRNGKey(1000 + max(cfg.get("SEED", 0), 0))
+    rng_host = np.random.default_rng(max(cfg.get("SEED", 0), 0))
+    iter_t0 = None
+    for iteration in range(start_iter, max_iter):
+        storage.iter = iteration
+        epoch = iteration // iters_per_epoch + 1
+        storage.put_scalar("epoch", epoch)
+
+        max_refine_iter = n_iter_train
+        if warm_epochs > 0:
+            max_refine_iter = min(
+                max_refine_iter,
+                max(1, int(n_iter_train * epoch / max(warm_epochs, 1))),
+            )
+
+        if loader2_iter is not None and rng_host.random() < train2_ratio:
+            batch_np = next(loader2_iter)
+        else:
+            batch_np = next(loader_iter)
+        batch = _batch_to_device(batch_np)
+
+        if iter_t0 is not None:
+            storage.put_scalar("time", time.perf_counter() - iter_t0)
+        iter_t0 = time.perf_counter()
+
+        lr = lr_fn(iteration)
+        key, sub = jax.random.split(key)
+        state, metrics = get_step_fn(max_refine_iter)(state, batch, sub, lr)
+
+        storage.put_scalar("lr", lr)
+        if (iteration + 1) % print_freq == 0 or iteration == max_iter - 1:
+            m = jax.device_get(metrics)
+            for i in range(max_refine_iter):
+                for k, v in m.items():
+                    storage.put_scalar(f"iter{i}/{k}", float(np.asarray(v)[i]))
+            total_last = float(np.asarray(m["loss_total"])[-1])
+            if not np.isfinite(total_last):
+                raise FloatingPointError(f"loss diverged at iter {iteration}: {total_last}")
+            storage.put_scalar("loss_total", total_last)
+            for w in writers:
+                w.write(storage)
+
+        if (iteration + 1) % ckpt_period == 0 or iteration == max_iter - 1:
+            ckpt.save_checkpoint(ckpt_dir, iteration, state,
+                                 keep=int(cfg.SOLVER.get("MAX_TO_KEEP", 5)))
+        if eval_period > 0 and (iteration + 1) % eval_period == 0:
+            do_test(cfg, params_override=state.params)
+
+    for w in writers:
+        w.close()
+    logger.info("training done: %d iterations", max_iter)
+
+
+def do_test(cfg, params_override=None) -> dict:
+    output_dir = cfg.OUTPUT_DIR
+    os.makedirs(output_dir, exist_ok=True)
+
+    model, mcfg, params = build_model(cfg)
+    if params_override is not None:
+        params = params_override
+
+    results_all = {}
+    for dset_name in cfg.DATASETS.TEST:
+        dicts = get_dataset_dicts(dset_name)
+        # keep gt for the evaluator before init poses overwrite annotations
+        for rec in dicts:
+            rec["gt_annotations"] = [dict(a) for a in rec.get("annotations", [])]
+
+        if cfg.MODEL.get("LOAD_POSES_TEST", False) and cfg.DATASETS.get("INIT_POSE_FILES_TEST"):
+            init_file = cfg.DATASETS.INIT_POSE_FILES_TEST[0]
+            dicts = load_init_poses_into_dataset(
+                dicts, init_file, score_thr=float(cfg.DATASETS.get("DET_THR", 0.0))
+            )
+        elif cfg.INPUT.get("INIT_POSE_TYPE_TEST", "est") == "gt_noise":
+            _add_gt_noise_init(cfg, dicts)
+
+        loader_cfg = loader_config_from(cfg, "test")
+        loader = CATRELoader(dicts, loader_cfg, phase="test", ims_per_batch=1)
+        n_iter = int(cfg.MODEL.CATRE.N_ITER_TEST)
+        refine = make_refine_fn(model, mcfg, n_iter=n_iter)
+        evaluator = CATREEvaluator(dicts, n_iters=n_iter, output_dir=output_dir)
+        stats = run_inference(refine, params, iter(loader), evaluator, n_iters=n_iter)
+        results = evaluator.evaluate()
+        results_all[dset_name] = {"stats": stats, "results": results}
+    return results_all
+
+
+def _add_gt_noise_init(cfg, dicts) -> None:
+    """gt_noise test mode: perturb gt poses/scales as initial estimates
+    (the validation mode, `data_loader.py:816-841`)."""
+    from ..data.aug import aug_poses_normal, aug_scale_normal
+
+    key = jax.random.PRNGKey(2025)
+    for rec in dicts:
+        annos = rec.get("annotations", [])
+        if not annos:
+            continue
+        poses = jnp.asarray(np.stack([a["pose"] for a in annos]))
+        scales = jnp.asarray(np.stack([a["scale"] for a in annos]))
+        key, k1, k2 = jax.random.split(key, 3)
+        poses_n = np.asarray(aug_poses_normal(
+            k1, poses, jnp.asarray([float(cfg.INPUT.get("NOISE_ROT_STD_TEST", 15))]),
+            jnp.asarray(cfg.INPUT.get("NOISE_TRANS_STD_TEST")),
+            max_rot=float(cfg.INPUT.get("NOISE_ROT_MAX_TEST", 45)),
+            min_z=float(cfg.INPUT.get("INIT_TRANS_MIN_Z", 0.1)),
+        ))
+        scales_n = np.asarray(aug_scale_normal(
+            k2, scales, jnp.asarray(cfg.INPUT.get("NOISE_SCALE_STD_TEST")),
+            min_s=float(cfg.INPUT.get("INIT_SCALE_MIN", 0.04)),
+        ))
+        for i, a in enumerate(annos):
+            a["pose_est"] = poses_n[i]
+            a["scale_est"] = scales_n[i]
+            a["score"] = 1.0

@@ -1,0 +1,87 @@
+"""CLI entry point.
+
+Behavioral reference: `core/catre/main_catre.py:44-193` — config load/merge,
+auto OUTPUT_DIR derivation, seeding, config dump, train/test dispatch — minus
+the GPU/DDP machinery (TPU SPMD needs one process; `--num-chips` selects the
+mesh size).
+
+Usage:
+  python -m catre_tpu.main --config-file catre_tpu/configs/nocs_real/...py
+  python -m catre_tpu.main --config-file ... --eval-only --opts MODEL.WEIGHTS=path
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import os.path as osp
+import sys
+
+
+def my_default_argument_parser():
+    """Mirrors `core/utils/default_args_setup.py:20-97` (the launcher options
+    collapse to --num-chips under SPMD)."""
+    p = argparse.ArgumentParser(description="catre_tpu")
+    p.add_argument("--config-file", required=True, metavar="FILE")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--num-chips", type=int, default=0,
+                   help="devices in the data-parallel mesh (0 = all)")
+    p.add_argument("--fp16-allreduce", action="store_true",
+                   help="accepted for reference-CLI compat (no-op: XLA manages collectives)")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
+                   help="dotted config overrides KEY.SUBKEY=value")
+    return p
+
+
+def setup(args):
+    from catre_tpu.config.loader import apply_overrides, dump_config, load_config
+
+    cfg = load_config(args.config_file)
+    cfg = apply_overrides(cfg, [o for o in args.opts if "=" in o])
+
+    # auto OUTPUT_DIR from config path (`main_catre.py:51-56`)
+    if not cfg.get("OUTPUT_DIR"):
+        base = osp.splitext(osp.basename(args.config_file))[0]
+        cfg["OUTPUT_DIR"] = osp.join(cfg.get("OUTPUT_ROOT", "output"), "catre_tpu", base)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+        handlers=[
+            logging.StreamHandler(sys.stdout),
+            logging.FileHandler(osp.join(cfg.OUTPUT_DIR, "log.txt")),
+        ],
+    )
+
+    seed = cfg.get("SEED", -1)
+    if seed < 0:
+        import time as _t
+
+        seed = int(_t.time()) % (2 ** 31)
+        cfg["SEED"] = seed
+    import numpy as _np
+    import random as _random
+
+    _np.random.seed(seed)
+    _random.seed(seed)
+
+    dump_config(cfg, osp.join(cfg.OUTPUT_DIR, "config_dump.py"))
+    return cfg
+
+
+def main(args=None):
+    args = my_default_argument_parser().parse_args(args)
+    cfg = setup(args)
+
+    from catre_tpu.engine.runner import do_test, do_train
+
+    if args.eval_only:
+        return do_test(cfg)
+    return do_train(cfg, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

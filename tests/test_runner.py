@@ -1,0 +1,61 @@
+"""End-to-end runner tests: config load -> do_train (few iters) -> resume ->
+do_test (gt_noise validation mode), all on the synthetic on-disk dataset."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from catre_tpu.config.loader import apply_overrides, load_config
+from catre_tpu.data.nocs import _DATASET_REGISTRY, NOCSDataset
+from catre_tpu.engine.runner import do_test, do_train
+
+from test_data_pipeline import fake_real_root  # noqa: F401  (fixture)
+
+CFG_PATH = osp.join(
+    osp.dirname(__file__),
+    "../catre_tpu/configs/nocs_real/aug05_kpsMS_r9d_catreDisR_shared_tspcl_convPerRot_scaleexp_120e.py",
+)
+
+
+def _small_cfg(tmp_path, fake_real_root):
+    cfg = load_config(CFG_PATH)
+    apply_overrides(cfg, [
+        "SOLVER.TOTAL_EPOCHS=2",
+        "SOLVER.IMS_PER_BATCH=2",
+        "SOLVER.WARMUP_ITERS=1",
+        "SOLVER.CHECKPOINT_PERIOD=1",
+        "INPUT.NUM_PCL=64",
+        "INPUT.NUM_KPS=1024",
+        "MODEL.CATRE.N_ITER_TRAIN=2",
+        "MODEL.CATRE.N_ITER_TRAIN_WARM_EPOCH=2",
+        "MODEL.CATRE.N_ITER_TEST=2",
+        "MODEL.LOAD_POSES_TEST=False",
+        "INPUT.INIT_POSE_TYPE_TEST='gt_noise'",
+        "DATALOADER.MAX_OBJS_PER_IMAGE=2",
+        "TRAIN.PRINT_FREQ=1",
+        "SEED=3",
+    ])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out")
+    # register train/test splits against the fixture root
+    for name in ["nocs_train_real", "nocs_test_real"]:
+        _DATASET_REGISTRY[name] = NOCSDataset(
+            name.replace("train", "test"), image_root=fake_real_root, use_cache=False
+        )
+    return cfg
+
+
+def test_train_resume_and_eval(tmp_path, fake_real_root):  # noqa: F811
+    cfg = _small_cfg(tmp_path, fake_real_root)
+    do_train(cfg, resume=False)
+    assert osp.exists(osp.join(cfg.OUTPUT_DIR, "metrics.json"))
+    # resume restores iteration and runs to completion without error
+    do_train(cfg, resume=True)
+
+    results = do_test(cfg)
+    res = results["nocs_test_real"]["results"]
+    assert 0 in res and 2 in res
+    # iter0 comes from perturbed gt; APs must be finite numbers
+    assert np.isfinite(list(res[0]["summary"].values())).all()
