@@ -81,6 +81,15 @@ def noise_config_from(cfg) -> InputNoiseConfig:
         init_scale_min=float(inp.get("INIT_SCALE_MIN", 0.04)),
         bbox3d_aug_prob=float(inp.get("BBOX3D_AUG_PROB", 0.0)),
         rt_aug_prob=float(inp.get("RT_AUG_PROB", 0.0)),
+        init_pose_types=_t(inp.get("INIT_POSE_TYPE_TRAIN", ["gt_noise"])),
+        init_scale_types=_t(inp.get("INIT_SCALE_TYPE_TRAIN", ["gt_noise"])),
+        random_trans_min=_t(inp.get("RANDOM_TRANS_MIN", (-0.35, -0.35, 0.5))),
+        random_trans_max=_t(inp.get("RANDOM_TRANS_MAX", (0.35, 0.35, 1.3))),
+        random_scale_min=_t(inp.get("RANDOM_SCALE_MIN", (0.04, 0.04, 0.04))),
+        random_scale_max=_t(inp.get("RANDOM_SCALE_MAX", (0.5, 0.3, 0.4))),
+        canonical_rot=_t(inp.get("CANONICAL_ROT", ((1, 0, 0, 0.5), (0, 0, 1, -0.7)))),
+        canonical_trans=_t(inp.get("CANONICAL_TRANS", (0.0, 0.0, 1.0))),
+        canonical_size=_t(inp.get("CANONICAL_SIZE", (0.2, 0.2, 0.2))),
     )
 
 

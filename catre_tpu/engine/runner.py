@@ -224,15 +224,49 @@ def do_test(cfg, params_override=None) -> dict:
         elif cfg.INPUT.get("INIT_POSE_TYPE_TEST", "est") == "gt_noise":
             _add_gt_noise_init(cfg, dicts)
 
+        n_iter = int(cfg.MODEL.CATRE.N_ITER_TEST)
+        evaluator = CATREEvaluator(dicts, n_iters=n_iter, output_dir=output_dir)
+
+        if cfg.VAL.get("EVAL_CACHED", False) or cfg.VAL.get("EVAL_PRINT_ONLY", False):
+            # re-score cached predictions without running the model
+            # (`catre_custom_evaluator.py:74-79,226-235`)
+            import pickle
+
+            with open(osp.join(output_dir, "predictions.pkl"), "rb") as f:
+                evaluator._preds = pickle.load(f)
+            results_all[dset_name] = {"stats": {}, "results": evaluator.evaluate()}
+            continue
+
         loader_cfg = loader_config_from(cfg, "test")
         loader = CATRELoader(dicts, loader_cfg, phase="test", ims_per_batch=1)
-        n_iter = int(cfg.MODEL.CATRE.N_ITER_TEST)
         refine = make_refine_fn(model, mcfg, n_iter=n_iter)
-        evaluator = CATREEvaluator(dicts, n_iters=n_iter, output_dir=output_dir)
         stats = run_inference(refine, params, iter(loader), evaluator, n_iters=n_iter)
-        results = evaluator.evaluate()
+        if cfg.TEST.get("SAVE_RESULTS_ONLY", False):
+            # results.pkl with poses/scales at every iter, keyed by
+            # scene_im_id (mirrors `catre_save_result_of_dataset`,
+            # `catre_evaluator.py:372-707`)
+            _save_results_pkl(evaluator, osp.join(output_dir, f"results_{dset_name}.pkl"))
+            results = {}
+        else:
+            results = evaluator.evaluate()
         results_all[dset_name] = {"stats": stats, "results": results}
     return results_all
+
+
+def _save_results_pkl(evaluator: CATREEvaluator, path: str) -> None:
+    import pickle
+
+    out = {}
+    for refine_i, preds in enumerate(evaluator._preds):
+        for scene_im_id, p in preds.items():
+            rec = out.setdefault(scene_im_id, dict(evaluator._gts.get(scene_im_id, {})))
+            rec[f"pred_RTs_{refine_i}"] = p["pred_RTs"]
+            rec[f"pred_scales_{refine_i}"] = p["pred_scales"]
+            if refine_i == 0:
+                rec.update({k: p[k] for k in ["pred_class_ids", "pred_scores", "pred_bboxes"]})
+    with open(path, "wb") as f:
+        pickle.dump(out, f)
+    logger.info("saved results to %s", path)
 
 
 def _add_gt_noise_init(cfg, dicts) -> None:

@@ -37,6 +37,17 @@ class InputNoiseConfig:
     init_scale_max: float = 0.45
     bbox3d_aug_prob: float = 0.5
     rt_aug_prob: float = 0.5
+    # init estimate source per iteration 0 (`engine_utils.py:187-247`):
+    # gt_noise | random | canonical | last_frame; one choice drawn per step
+    init_pose_types: tuple = ("gt_noise",)
+    init_scale_types: tuple = ("gt_noise",)
+    random_trans_min: tuple = (-0.35, -0.35, 0.5)
+    random_trans_max: tuple = (0.35, 0.35, 1.3)
+    random_scale_min: tuple = (0.04, 0.04, 0.04)
+    random_scale_max: tuple = (0.5, 0.3, 0.4)
+    canonical_rot: tuple = ((1, 0, 0, 0.5), (0, 0, 1, -0.7))
+    canonical_trans: tuple = (0.0, 0.0, 1.0)
+    canonical_size: tuple = (0.2, 0.2, 0.2)
 
 
 class TrainState(NamedTuple):
@@ -52,11 +63,91 @@ def _set_lr(opt_state, lr):
     return opt_state._replace(hyperparams=hp)
 
 
+def _random_rotation(key, n):
+    """Uniform SO(3) rotations via normalized gaussian quaternions (matches
+    the distribution of `transform.random_rotation_matrix`)."""
+    from ..geom.rotations import quat_to_mat
+
+    q = jax.random.normal(key, (n, 4))
+    return quat_to_mat(q)
+
+
+def _sample_init_pose(key, batch, noise_cfg: InputNoiseConfig):
+    """One init-pose mode drawn per step from init_pose_types
+    (`get_init_pose_train`, `engine_utils.py:216-247`)."""
+    n = batch["obj_pose"].shape[0]
+    k_sel, k_a, k_b = jax.random.split(key, 3)
+
+    def gt_noise(_):
+        return aug_poses_normal(
+            k_a, batch["obj_pose"],
+            jnp.asarray(noise_cfg.noise_rot_std), jnp.asarray(noise_cfg.noise_trans_std),
+            max_rot=noise_cfg.noise_rot_max, min_z=noise_cfg.init_trans_min_z,
+        )
+
+    def random_pose(_):
+        R = _random_rotation(k_a, n)
+        tmin = jnp.asarray(noise_cfg.random_trans_min)
+        tmax = jnp.asarray(noise_cfg.random_trans_max)
+        t = jax.random.uniform(k_b, (n, 3)) * (tmax - tmin) + tmin
+        return jnp.concatenate([R, t[:, :, None]], axis=-1)
+
+    def canonical(_):
+        from ..geom.rotations import rot_from_axangle_chain
+
+        R = rot_from_axangle_chain(noise_cfg.canonical_rot)
+        t = jnp.asarray(noise_cfg.canonical_trans)
+        pose = jnp.concatenate([R, t[:, None]], axis=-1)
+        return jnp.broadcast_to(pose[None], (n, 3, 4))
+
+    def last_frame(_):
+        return batch["last_frame_poses"][:, :3, :4]
+
+    branch_map = {"gt_noise": gt_noise, "random": random_pose,
+                  "canonical": canonical, "last_frame": last_frame}
+    branches = [branch_map[t] for t in noise_cfg.init_pose_types]
+    if len(branches) == 1:
+        return branches[0](None)
+    idx = jax.random.randint(k_sel, (), 0, len(branches))
+    return jax.lax.switch(idx, branches, None)
+
+
+def _sample_init_scale(key, batch, noise_cfg: InputNoiseConfig):
+    """`get_init_scale_train` (`engine_utils.py:187-213`)."""
+    n = batch["obj_scale"].shape[0]
+    k_sel, k_a = jax.random.split(key)
+
+    def gt_noise(_):
+        return aug_scale_normal(
+            k_a, batch["obj_scale"], jnp.asarray(noise_cfg.noise_scale_std),
+            min_s=noise_cfg.init_scale_min, max_s=noise_cfg.init_scale_max,
+        )
+
+    def random_scale(_):
+        smin = jnp.asarray(noise_cfg.random_scale_min)
+        smax = jnp.asarray(noise_cfg.random_scale_max)
+        return jax.random.uniform(k_a, (n, 3)) * (smax - smin) + smin
+
+    def canonical(_):
+        return jnp.broadcast_to(jnp.asarray(noise_cfg.canonical_size)[None], (n, 3))
+
+    def last_frame(_):
+        return batch["last_frame_poses"][:, :3, 4]
+
+    branch_map = {"gt_noise": gt_noise, "random": random_scale,
+                  "canonical": canonical, "last_frame": last_frame}
+    branches = [branch_map[t] for t in noise_cfg.init_scale_types]
+    if len(branches) == 1:
+        return branches[0](None)
+    idx = jax.random.randint(k_sel, (), 0, len(branches))
+    return jax.lax.switch(idx, branches, None)
+
+
 def prepare_train_batch(key, batch: dict, noise_cfg: InputNoiseConfig) -> dict:
     """Device-side batch augmentation + initial estimate sampling.
 
     Mirrors `batch_data` aug (`batching.py:78-82`) and `batch_updater` iter-0
-    init sampling (`engine_utils.py:187-247`, gt_noise mode).
+    init sampling (`engine_utils.py:187-247`).
     Returns the batch with obj_pose/obj_scale possibly augmented and
     obj_pose_est/obj_scale_est added.
     """
@@ -73,15 +164,8 @@ def prepare_train_batch(key, batch: dict, noise_cfg: InputNoiseConfig) -> dict:
     )
     batch = dict(batch, pcl=pcl, obj_pose=pose, obj_scale=scale)
 
-    batch["obj_pose_est"] = aug_poses_normal(
-        k_pose, batch["obj_pose"],
-        jnp.asarray(noise_cfg.noise_rot_std), jnp.asarray(noise_cfg.noise_trans_std),
-        max_rot=noise_cfg.noise_rot_max, min_z=noise_cfg.init_trans_min_z,
-    )
-    batch["obj_scale_est"] = aug_scale_normal(
-        k_scale, batch["obj_scale"], jnp.asarray(noise_cfg.noise_scale_std),
-        min_s=noise_cfg.init_scale_min, max_s=noise_cfg.init_scale_max,
-    )
+    batch["obj_pose_est"] = _sample_init_pose(k_pose, batch, noise_cfg)
+    batch["obj_scale_est"] = _sample_init_scale(k_scale, batch, noise_cfg)
     return batch
 
 
