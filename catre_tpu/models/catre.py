@@ -82,24 +82,29 @@ class CATREDisRShared(nn.Module):
             out_dim=cfg.pclnet_out_dim,
             global_feat=False,
             feature_transform=cfg.feature_transform,
+            return_parts=True,
             dtype=cfg.dtype,
             name="pcl_net",
         )
         # Shared weights over both clouds (ref calls the net twice with the
         # same weights, CATRE_disR_shared.py:66-67). When point counts match
         # (the shipped config: 1024/1024) both clouds run in ONE batched
-        # encoder call — bigger matmuls, weights read from HBM once.
+        # encoder call — bigger matmuls, weights read from HBM once. The
+        # encoder returns FACTORED features (per-point 64-d, per-cloud
+        # 1024-d global); the reference's (B, 1088, P) concat is never built.
         if x.shape[1] == tfd_kps.shape[1]:
             both = jnp.concatenate([x, tfd_kps], axis=0)  # (2B, P, 3)
-            feats = pcl_net(both)  # (2B, P, C=out_dim+64)
-            pcl_feat, kps_feat = feats[:B], feats[B:]
+            pf, gf = pcl_net(both)  # (2B, P, 64), (2B, out_dim)
+            pcl_pf, kps_pf = pf[:B], pf[B:]
+            g_pcl, g_kps = gf[:B], gf[B:]
         else:
-            pcl_feat = pcl_net(x)
-            kps_feat = pcl_net(tfd_kps)
+            pcl_pf, g_pcl = pcl_net(x)
+            kps_pf, g_kps = pcl_net(tfd_kps)
 
-        flat_pcl_feat = jnp.max(pcl_feat, axis=1)  # (B, C)
+        # flat feature = max over points of [global ⊕ point] = [g, max(point)]
+        flat_pcl_feat = jnp.concatenate([g_pcl, jnp.max(pcl_pf, axis=1)], axis=1)
         if cfg.ts_with_kps_feature:
-            flat_kps_feat = jnp.max(kps_feat, axis=1)
+            flat_kps_feat = jnp.concatenate([g_kps, jnp.max(kps_pf, axis=1)], axis=1)
             ts_feat = jnp.concatenate([flat_pcl_feat, flat_kps_feat], axis=1)
         else:
             ts_feat = flat_pcl_feat
@@ -118,9 +123,10 @@ class CATREDisRShared(nn.Module):
         )(ts_feat)
 
         # rot head consumes per-point features of both clouds concatenated
-        # along the POINT axis (ref `CATRE_disR_shared.py:86`).
-        rot_feat = jnp.concatenate([pcl_feat, kps_feat], axis=1)  # (B, P+K, C)
+        # along the POINT axis (ref `CATRE_disR_shared.py:86`), in factored form.
+        point_feats = jnp.concatenate([pcl_pf, kps_pf], axis=1)  # (B, P+K, 64)
         rot_deltas6 = ConvOutPerRotHead(
+            in_global=cfg.pclnet_out_dim,
             feat_dim=cfg.rot_feat_dim,
             num_layers=cfg.rot_num_layers,
             rot_dim=3,
@@ -128,7 +134,7 @@ class CATREDisRShared(nn.Module):
             num_points=cfg.num_pcl + cfg.num_kps,
             dtype=cfg.dtype,
             name="rot_head",
-        )(rot_feat)
+        )(point_feats, g_pcl, g_kps, x.shape[1])
 
         return (
             rot_deltas6.astype(jnp.float32),

@@ -2,18 +2,27 @@
 
 Behavioral reference: `core/catre/models/heads/conv_out_per_rot_head.py`
 (ConvOutPerRotHead:10, RotHead:74) and `fc_trans_size_head.py`
-(FC_TransSizeHead:9).  Points-last layout; the per-point "Conv1d(k=1)"
-stacks are Dense-over-channels, and the reference's `conv_p` (a Conv1d over
-the *point* dimension) becomes a learned weighted sum over points.
+(FC_TransSizeHead:9).
+
+TPU-native design: the rot head consumes the ENCODER FACTORED features
+(per-point 64-d + per-cloud global 1024-d) instead of the reference's
+materialized (B, 1088, P+K) concat.  Its first conv's weight is split along
+the input channels — `y = pf @ W[1024:] + g @ W[:1024] + b` — which is
+algebraically identical to the reference (the global rows multiply a
+constant-over-points feature) but cuts the dominant HBM buffer and 16x of
+the layer-0 FLOPs.  GroupNorm statistics are computed with one-hot
+group-aggregation matmuls (MXU) rather than lane-splitting reshapes.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import GroupNormPointsLast, HeadDense, gelu_exact
+from .layers import HeadDense, gelu_exact, normal_kernel_init
 
 
 def _point_weight_init(key, shape, dtype=jnp.float32):
@@ -21,14 +30,60 @@ def _point_weight_init(key, shape, dtype=jnp.float32):
     return 0.001 * jax.random.normal(key, shape, dtype)
 
 
-class RotHead(nn.Module):
-    """One per-axis rotation head: 2x(Dense->GN(32)->GELU) -> Dense(rot_dim)
-    -> learned point-weighted sum (`conv_p`, ref `conv_out_per_rot_head.py:112`).
+class GroupNormMatmul(nn.Module):
+    """GroupNorm over (B, P, C) with group statistics via (C, G) one-hot
+    matmuls — same numerics as torch GroupNorm(G, C) on (B, C, P), but the
+    reductions ride the MXU with no lane-dim reshapes."""
 
-    Input (B, P, in_dim); output (B, rot_dim).
-    All layers normal_init(std=0.001), zero bias (`:117-124`).
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # (B, P, C)
+        C = x.shape[-1]
+        G = self.num_groups
+        assert C % G == 0, (C, G)
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        onehot = np.zeros((C, G), dtype=np.float32)
+        onehot[np.arange(C), np.arange(C) // (C // G)] = 1.0
+        M = jnp.asarray(onehot)
+
+        n = x.shape[1] * (C // G)
+        s1 = jnp.einsum("bpc,cg->bg", x, M, preferred_element_type=jnp.float32)
+        s2 = jnp.einsum("bpc,cg->bg", jnp.square(x.astype(jnp.float32)), M,
+                        preferred_element_type=jnp.float32)
+        mean_g = s1 / n
+        var_g = s2 / n - jnp.square(mean_g)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        # broadcast group stats back to channels: (B, G) @ (G, C)
+        mean_c = mean_g @ M.T
+        inv_c = inv_g @ M.T
+        out = (x.astype(jnp.float32) - mean_c[:, None, :]) * inv_c[:, None, :]
+        out = out * scale + bias
+        return out.astype(x.dtype)
+
+
+class RotHead(nn.Module):
+    """One per-axis rotation head on factored features.
+
+    Structure (ref `conv_out_per_rot_head.py:74-141`):
+      layer0 (split-weight Dense in_dim->feat) -> GN(32) -> GELU
+      layer1 (Dense feat->feat) -> GN(32) -> GELU
+      neck   (Dense feat->rot_dim)
+      conv_p (learned weighted sum over the P+K points, `:112`)
+    All conv layers normal_init(std=0.001), zero bias (`:117-124`).
+
+    Inputs:
+      point_feats: (B, P+K, 64) per-point features (pcl then kps)
+      g_pcl, g_kps: (B, 1024) per-cloud global features
+      n_pcl: static count of pcl points (split position)
+    Output: (B, rot_dim)
     """
 
+    in_global: int = 1024
+    in_point: int = 64
     feat_dim: int = 256
     num_layers: int = 2
     rot_dim: int = 3
@@ -38,12 +93,30 @@ class RotHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        for i in range(self.num_layers):
+    def __call__(self, point_feats, g_pcl, g_kps, n_pcl: int):
+        in_dim = self.in_global + self.in_point
+        w0 = self.param("layer0_kernel", normal_kernel_init(0.001), (in_dim, self.feat_dim))
+        b0 = self.param("layer0_bias", nn.initializers.zeros, (self.feat_dim,))
+        cdt = point_feats.dtype if self.dtype is None else self.dtype
+        w0 = w0.astype(cdt)
+        w_g, w_pt = w0[: self.in_global], w0[self.in_global:]
+
+        # per-cloud contribution of the (constant-over-points) global feature
+        g_pcl_term = g_pcl.astype(cdt) @ w_g  # (B, F)
+        g_kps_term = g_kps.astype(cdt) @ w_g
+        pt_term = point_feats.astype(cdt) @ w_pt  # (B, P+K, F)
+        P = point_feats.shape[1]
+        is_pcl = (jnp.arange(P) < n_pcl)[None, :, None]
+        x = pt_term + jnp.where(is_pcl, g_pcl_term[:, None, :], g_kps_term[:, None, :])
+        x = x + b0.astype(cdt)
+
+        x = GroupNormMatmul(num_groups=self.num_gn_groups, name="gn0")(x)
+        x = gelu_exact(x)
+        for i in range(1, self.num_layers):
             x = HeadDense(self.feat_dim, std=0.001, dtype=self.dtype, name=f"layer{i}")(x)
-            x = GroupNormPointsLast(num_groups=self.num_gn_groups, name=f"gn{i}")(x)
+            x = GroupNormMatmul(num_groups=self.num_gn_groups, name=f"gn{i}")(x)
             x = gelu_exact(x)
-        x = HeadDense(self.rot_dim, std=0.001, dtype=self.dtype, name="neck")(x)  # (B, P, rot_dim)
+        x = HeadDense(self.rot_dim, std=0.001, dtype=self.dtype, name="neck")(x)  # (B, P+K, rot_dim)
         # conv_p: Conv1d(num_points -> 1, k=1): out[b,d] = sum_p w[p] x[b,p,d] + bias
         w = self.param("point_weight", _point_weight_init, (self.num_points,))
         out = jnp.einsum("bpd,p->bd", x, w.astype(x.dtype))
@@ -60,6 +133,8 @@ class ConvOutPerRotHead(nn.Module):
     num_points=2048, rot_dim=3 (`configs/...120e.py:87-100`).
     """
 
+    in_global: int = 1024
+    in_point: int = 64
     feat_dim: int = 256
     num_layers: int = 2
     rot_dim: int = 3
@@ -68,8 +143,10 @@ class ConvOutPerRotHead(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, point_feats, g_pcl, g_kps, n_pcl: int):
         kw = dict(
+            in_global=self.in_global,
+            in_point=self.in_point,
             feat_dim=self.feat_dim,
             num_layers=self.num_layers,
             rot_dim=self.rot_dim,
@@ -77,8 +154,8 @@ class ConvOutPerRotHead(nn.Module):
             num_points=self.num_points,
             dtype=self.dtype,
         )
-        rx = RotHead(**kw, name="rot_head_x")(x)
-        ry = RotHead(**kw, name="rot_head_y")(x)
+        rx = RotHead(**kw, name="rot_head_x")(point_feats, g_pcl, g_kps, n_pcl)
+        ry = RotHead(**kw, name="rot_head_y")(point_feats, g_pcl, g_kps, n_pcl)
         return jnp.concatenate([rx, ry], axis=1)  # (B, 2*rot_dim)
 
 
@@ -98,6 +175,8 @@ class FCTransSizeHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from .layers import GroupNormPointsLast
+
         for i in range(self.num_layers):
             x = HeadDense(self.feat_dim, std=0.001, dtype=self.dtype, name=f"linear{i}")(x)
             x = GroupNormPointsLast(num_groups=self.num_gn_groups, name=f"gn{i}")(x)

@@ -53,6 +53,7 @@ class PointNetFeat(nn.Module):
     out_dim: int = 1024
     global_feat: bool = False
     feature_transform: bool = True
+    return_parts: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -73,6 +74,12 @@ class PointNetFeat(nn.Module):
         gfeat = jnp.max(x, axis=1)  # (B, out_dim)
         if self.global_feat:
             return gfeat
+        if self.return_parts:
+            # TPU-native factored form: the reference's per-point feature is
+            # [global(out_dim) ⊕ point(64)] with the global part constant
+            # across points — return the parts and let consumers exploit the
+            # structure instead of materializing (B, P, out_dim+64).
+            return pointfeat, gfeat
         g = jnp.broadcast_to(gfeat[:, None, :], (x.shape[0], x.shape[1], self.out_dim))
         # channel order matches torch cat([global, pointfeat], dim=1)
         return jnp.concatenate([g, pointfeat], axis=-1)  # (B, P, out_dim+64)

@@ -54,9 +54,15 @@ def _wrap_dense(tree: dict) -> dict:
 
 
 def _rot_head(sd: Mapping[str, Any], prefix: str) -> dict:
-    """rot_head_{x,y}: layers.[0 Conv,1 GN,2 act,3 Conv,4 GN,5 act], neck.0, conv_p."""
+    """rot_head_{x,y}: layers.[0 Conv,1 GN,2 act,3 Conv,4 GN,5 act], neck.0, conv_p.
+
+    layer0 is stored flat ({layer0_kernel, layer0_bias}) because the flax
+    RotHead splits its weight along the input channels (see models/heads.py).
+    """
+    l0 = _dense(sd, f"{prefix}.layers.0")
     out = {
-        "layer0": _wrap_dense(_dense(sd, f"{prefix}.layers.0")),
+        "layer0_kernel": l0["kernel"],
+        "layer0_bias": l0["bias"],
         "gn0": _gn(sd, f"{prefix}.layers.1"),
         "layer1": _wrap_dense(_dense(sd, f"{prefix}.layers.3")),
         "gn1": _gn(sd, f"{prefix}.layers.4"),
