@@ -181,6 +181,7 @@ def _make_image_sampler(cfg: LoaderConfig):
         pcls, n_inside = batch_ball_crop(
             key, cloud, masks, poses, scales,
             ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
+            fps_sample=cfg.fps_sample,
         )
         return pcls, n_inside
 

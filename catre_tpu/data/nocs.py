@@ -110,8 +110,24 @@ class NOCSDataset:
                 pickle.dump(dicts, f)
         return dicts
 
+    @staticmethod
+    def get_abs_scale(model_pts: np.ndarray, nocs_scale: float, obj_name: str) -> np.ndarray:
+        """CAMERA metric size from normalized model extents
+        (`cmra.py:346-364`; mug x extent symmetrized)."""
+        if obj_name == "mug":
+            lx = 2 * max(model_pts[:, 0].max(), -model_pts[:, 0].min())
+        else:
+            lx = model_pts[:, 0].max() - model_pts[:, 0].min()
+        ly = model_pts[:, 1].max() - model_pts[:, 1].min()
+        lz = model_pts[:, 2].max() - model_pts[:, 2].min()
+        return (np.array([lx, ly, lz], dtype=np.float32) * nocs_scale)
+
     def _build(self) -> list:
         scales_dict = assets.load_abs_scales()
+        try:
+            models_dict = assets.load_model_points("train" if "train" in self.name else "test")
+        except FileNotFoundError:
+            models_dict = {}
         mug_handle_dict = None
         if "train" in self.name and "real" in self.name:
             try:
@@ -174,8 +190,15 @@ class NOCSDataset:
                 nocs_scale = gt["scales"][idx]
                 abs_scale = scales_dict.get(inst_name)
                 if abs_scale is None:
-                    # CAMERA instances: metric size = nocs_scale * unit-box size
-                    abs_scale = np.asarray(nocs_scale, dtype=np.float32)
+                    # CAMERA instances: metric size from normalized model
+                    # extents x nocs_scale (`cmra.py:228,346-364`)
+                    if inst_name in models_dict:
+                        abs_scale = self.get_abs_scale(
+                            models_dict[inst_name], float(nocs_scale), obj_name
+                        )
+                    else:
+                        # last resort: isotropic cube of the nocs diagonal
+                        abs_scale = np.full(3, float(nocs_scale) / np.sqrt(3), dtype=np.float32)
 
                 y1, x1, y2, x2 = gt["bboxes"][idx]
                 bbox = [float(x1), float(y1), float(x2), float(y2)]

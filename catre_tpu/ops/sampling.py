@@ -83,15 +83,18 @@ def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points:
     return pts[idx], idx, n_inside
 
 
-@partial(jax.jit, static_argnames=("ratio", "num_points"))
+@partial(jax.jit, static_argnames=("ratio", "num_points", "fps_sample"))
 def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndarray,
-                    scales: jnp.ndarray, ratio: float, num_points: int):
+                    scales: jnp.ndarray, ratio: float, num_points: int,
+                    fps_sample: bool = False):
     """Per-instance ball-crop over one image's organized cloud.
 
     Args:
       cloud: (H, W, 3) backprojected cloud (z == depth)
       masks: (I, H, W) bool per-instance masks
       poses: (I, 3, 4) initial poses; scales: (I, 3)
+      fps_sample: FPS instead of random choice among in-ball points
+        (the INPUT.FPS_SAMPLE ablation, `crop_ball_from_pts:304-307`)
     Returns:
       (pcls (I, num_points, 3), n_inside (I,))
     """
@@ -102,6 +105,17 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
 
     def one(k, mask, pose, scale):
         valid = mask.reshape(-1) & depth_ok
+        if fps_sample:
+            # oversample randomly in-ball, then FPS among the kept points
+            center = pose[:, 3]
+            radius = ratio * jnp.linalg.norm(pose[:, :3] @ scale)
+            cand_idx, n_in = ball_crop_indices(
+                k, pts, valid, center, radius, num_points=4 * num_points
+            )
+            cand = pts[cand_idx]
+            cand_valid = jnp.arange(4 * num_points) < jnp.minimum(n_in, 4 * num_points)
+            fps_idx = farthest_point_indices(cand, num_points, valid=cand_valid)
+            return cand[fps_idx], n_in
         sampled, _, n_in = crop_ball_from_cloud(k, pts, valid, pose, scale, ratio, num_points)
         return sampled, n_in
 
@@ -109,15 +123,28 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
 
 
 def farthest_point_indices(pts: jnp.ndarray, num_points: int,
-                           start_from_mean: bool = True) -> jnp.ndarray:
+                           start_from_mean: bool = True,
+                           valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Farthest point sampling over (M, 3) -> (num_points,) indices.
 
     Matches `core/utils/farthest_points_torch.py:6-62` (mean-init: the first
-    selected point is the one farthest from the centroid).
+    selected point is the one farthest from the centroid).  With `valid`,
+    invalid points are never selected (their distance is pinned to -inf).
     """
     m = pts.shape[0]
+    neg = jnp.float32(-jnp.inf)
+    if valid is not None:
+        vmask = valid.astype(bool)
+        n_valid = jnp.maximum(jnp.sum(vmask), 1)
+        centroid = jnp.sum(jnp.where(vmask[:, None], pts, 0.0), axis=0) / n_valid
+    else:
+        vmask = None
+        centroid = pts.mean(axis=0)
+
     if start_from_mean:
-        d0 = jnp.linalg.norm(pts - pts.mean(axis=0, keepdims=True), axis=-1)
+        d0 = jnp.linalg.norm(pts - centroid[None, :], axis=-1)
+        if vmask is not None:
+            d0 = jnp.where(vmask, d0, neg)
         first = jnp.argmax(d0).astype(jnp.int32)
     else:
         first = jnp.int32(0)
@@ -127,7 +154,8 @@ def farthest_point_indices(pts: jnp.ndarray, num_points: int,
         last = pts[idx[i - 1]]
         d = jnp.linalg.norm(pts - last[None, :], axis=-1)
         min_dist = jnp.minimum(min_dist, d)
-        idx = idx.at[i].set(jnp.argmax(min_dist).astype(jnp.int32))
+        cand = min_dist if vmask is None else jnp.where(vmask, min_dist, neg)
+        idx = idx.at[i].set(jnp.argmax(cand).astype(jnp.int32))
         return idx, min_dist
 
     idx0 = jnp.zeros(num_points, jnp.int32).at[0].set(first)
