@@ -238,46 +238,27 @@ class NOCSDataset:
 
 
 # -------------------------------------------------- RLE helpers
+# backed by the native C codec (catre_tpu/native/rle.c) with python fallback
 def binary_mask_to_rle(mask: np.ndarray) -> dict:
     """Uncompressed COCO RLE (column-major), matching
     `lib/utils/mask_utils.py` binary_mask_to_rle."""
-    mask = np.asfortranarray(mask.astype(np.uint8))
-    flat = mask.ravel(order="F")
-    # run-length encode starting with a zero-run
-    counts = []
-    prev = 0
-    run = 0
-    for v in flat:
-        if v == prev:
-            run += 1
-        else:
-            counts.append(run)
-            prev = v
-            run = 1
-    counts.append(run)
-    return {"counts": counts, "size": list(mask.shape)}
+    from ..native import rle_encode
+
+    mask = np.asarray(mask)
+    return {"counts": rle_encode(mask), "size": list(mask.shape)}
 
 
 def rle_to_binary_mask(rle: dict) -> np.ndarray:
-    """Decode uncompressed (list) or compressed (pycocotools bytes) RLE."""
+    """Decode uncompressed (list counts) or COCO-compressed (byte string)
+    RLE, matching pycocotools semantics (`lib/utils/mask_utils.py`
+    cocosegm2mask)."""
+    from ..native import rle_decode_coco_string, rle_decode_uncompressed
+
     counts = rle["counts"]
     h, w = rle["size"]
     if isinstance(counts, (bytes, str)):
-        try:
-            from pycocotools import mask as cocomask
-
-            return cocomask.decode(rle).astype(bool)
-        except ImportError as e:  # compressed RLE without pycocotools
-            raise NotImplementedError("compressed RLE requires pycocotools") from e
-    flat = np.zeros(h * w, dtype=bool)
-    pos = 0
-    val = False
-    for c in counts:
-        if val:
-            flat[pos: pos + c] = True
-        pos += c
-        val = not val
-    return flat.reshape((h, w), order="F")
+        return rle_decode_coco_string(counts, h, w)
+    return rle_decode_uncompressed(counts, h, w)
 
 
 # -------------------------------------------------- init pose merge (test)
