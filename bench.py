@@ -27,15 +27,16 @@ def main():
     n_iter = 4
     results = {}
 
-    for dtype_name, dtype in [("bf16", jnp.bfloat16), ("fp32", None)]:
-        cfg = CATREConfig(dtype=dtype)
+    for dtype_name, dtype, fused in [("bf16_fused", jnp.bfloat16, True),
+                                     ("bf16", jnp.bfloat16, False)]:
+        cfg = CATREConfig(dtype=dtype, fused_heads=fused)
         model = CATREDisRShared(cfg)
         params = init_params(model, cfg, jax.random.PRNGKey(0))
         refine = make_refine_fn(model, cfg, n_iter=n_iter)
 
         best = 0.0
         # keep the compile count low: remote compiles are slow in this image
-        batch_sizes = [512, 1024] if dtype_name == "bf16" else [1024]
+        batch_sizes = [1024]
         for b in batch_sizes:
             R = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
             t = np.tile(np.array([0, 0, 1.0], dtype=np.float32), (b, 1))
@@ -67,7 +68,7 @@ def main():
             best = max(best, rate)
         results[dtype_name] = best
 
-    value = results["bf16"]
+    value = max(results.get("bf16_fused", 0.0), results.get("bf16", 0.0))
     print(
         json.dumps(
             {

@@ -63,11 +63,25 @@ def _get_train_dicts(cfg, names):
     return dicts
 
 
-def _batch_to_device(batch: dict) -> dict:
+def _batch_to_device(batch: dict, max_objs: int | None = None,
+                     kps_type: str = "mean_shape", num_kps: int = 1024,
+                     with_neg_axis: bool = False) -> dict:
+    from ..data.kps import select_kps
+
     keep = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "valid",
             "obj_mean_points", "obj_mean_scales", "K"]
-    out = {k: jnp.asarray(batch[k]) for k in keep}
-    out["obj_kps"] = out["obj_mean_points"]  # KPS_TYPE=mean_shape (shipped)
+    out = {}
+    for k in keep:
+        v = batch[k]
+        if max_objs is not None and v.shape[0] > max_objs:
+            # flattened-instance cap (DATALOADER.MAX_OBJS_TRAIN,
+            # `batching.py:66-69`) — static slice keeps shapes jit-stable
+            v = v[:max_objs]
+        out[k] = jnp.asarray(v)
+    out["obj_kps"] = select_kps(
+        kps_type, mean_points=out["obj_mean_points"], scale_est=out["obj_scale"],
+        num_kps=num_kps, with_neg_axis=with_neg_axis,
+    )
     return out
 
 
@@ -76,7 +90,17 @@ def do_train(cfg, resume: bool = False) -> None:
     os.makedirs(output_dir, exist_ok=True)
 
     model, mcfg, params = build_model(cfg)
-    tx = build_optimizer(cfg.SOLVER)
+    net = cfg.MODEL.CATRE
+    lr_mults = {
+        "rot_head": float(net.ROT_HEAD.get("LR_MULT", 1.0)),
+        "ts_head": float(net.TS_HEAD.get("LR_MULT", 1.0)),
+    }
+    frozen = tuple(
+        key for key, sub in [("pcl_net", net.PCLNET), ("rot_head", net.ROT_HEAD),
+                             ("ts_head", net.TS_HEAD)]
+        if sub.get("FREEZE", False)
+    )
+    tx = build_optimizer(cfg.SOLVER, lr_mults=lr_mults, frozen=frozen)
     opt_state = tx.init(params)
     state = TrainState(params, opt_state, jnp.zeros([], jnp.int32))
 
@@ -167,7 +191,12 @@ def do_train(cfg, resume: bool = False) -> None:
             batch_np = next(loader2_iter)
         else:
             batch_np = next(loader_iter)
-        batch = _batch_to_device(batch_np)
+        batch = _batch_to_device(
+            batch_np, max_objs=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
+            kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
+            num_kps=int(cfg.INPUT.get("NUM_KPS", 1024)),
+            with_neg_axis=bool(cfg.INPUT.get("WITH_NEG_AXIS", False)),
+        )
 
         if iter_t0 is not None:
             storage.put_scalar("time", time.perf_counter() - iter_t0)
@@ -240,7 +269,11 @@ def do_test(cfg, params_override=None) -> dict:
         loader_cfg = loader_config_from(cfg, "test")
         loader = CATRELoader(dicts, loader_cfg, phase="test", ims_per_batch=1)
         refine = make_refine_fn(model, mcfg, n_iter=n_iter)
-        stats = run_inference(refine, params, iter(loader), evaluator, n_iters=n_iter)
+        stats = run_inference(
+            refine, params, iter(loader), evaluator, n_iters=n_iter,
+            kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
+            num_kps=int(cfg.INPUT.get("NUM_KPS", 1024)),
+        )
         if cfg.TEST.get("SAVE_RESULTS_ONLY", False):
             # results.pkl with poses/scales at every iter, keyed by
             # scene_im_id (mirrors `catre_save_result_of_dataset`,

@@ -162,12 +162,15 @@ class CATREEvaluator:
 
 
 def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
-                  n_iters: int, warmup: int = 1) -> dict:
+                  n_iters: int, warmup: int = 1, kps_type: str = "mean_shape",
+                  num_kps: int = 1024) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
     the initial estimates."""
     import jax.numpy as jnp
+
+    from ..data.kps import select_kps
 
     total_compute = 0.0
     total_process = 0.0
@@ -178,8 +181,12 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         if batch.get("empty"):
             continue
         t0 = time.perf_counter()
+        obj_kps = select_kps(
+            kps_type, mean_points=jnp.asarray(batch["obj_mean_points"]),
+            scale_est=jnp.asarray(batch["obj_scale_est"]), num_kps=num_kps,
+        )
         poses, scales = refine_fn(
-            params, jnp.asarray(batch["pcl"]), jnp.asarray(batch["obj_mean_points"]),
+            params, jnp.asarray(batch["pcl"]), obj_kps,
             jnp.asarray(batch["obj_pose_est"]), jnp.asarray(batch["obj_scale_est"]),
             jnp.asarray(batch["K"]), jnp.asarray(batch["obj_mean_scales"]),
         )

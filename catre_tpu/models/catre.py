@@ -53,6 +53,7 @@ class CATREConfig:
     zero_center_input: bool = True
     refine_scale: bool = True
     dtype: Any = None                     # compute dtype (None = float32)
+    fused_heads: bool = False             # Pallas fused rot head (inference)
 
     @property
     def is_allo(self) -> bool:
@@ -166,6 +167,58 @@ def prepare_inputs(cfg: CATREConfig, pcl, obj_kps, pose_est, scale_est):
     return x, tfd_kps
 
 
+def delta_forward_fused(cfg: CATREConfig, params, x, tfd_kps, init_scale, init_trans):
+    """Inference-path delta prediction using the fused Pallas rot-head kernel
+    (ops/pallas_heads.py). Encoder and TS head run as flax submodule applies;
+    same numerics as CATREDisRShared.__call__ to float tolerance."""
+    import jax
+
+    from ..ops.pallas_heads import fused_conv_per_rot_head
+    from .heads import FCTransSizeHead
+    from .pointnet import PointNetFeat
+
+    B = x.shape[0]
+    enc = PointNetFeat(
+        out_dim=cfg.pclnet_out_dim, global_feat=False,
+        feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
+    )
+    both = jnp.concatenate([x, tfd_kps], axis=0) if x.shape[1] == tfd_kps.shape[1] else None
+    if both is not None:
+        pf, gf = enc.apply({"params": params["pcl_net"]}, both)
+        pcl_pf, kps_pf = pf[:B], pf[B:]
+        g_pcl, g_kps = gf[:B], gf[B:]
+    else:
+        pcl_pf, g_pcl = enc.apply({"params": params["pcl_net"]}, x)
+        kps_pf, g_kps = enc.apply({"params": params["pcl_net"]}, tfd_kps)
+
+    flat_pcl_feat = jnp.concatenate([g_pcl, jnp.max(pcl_pf, axis=1)], axis=1)
+    ts_feat = flat_pcl_feat
+    if cfg.ts_with_kps_feature:
+        flat_kps_feat = jnp.concatenate([g_kps, jnp.max(kps_pf, axis=1)], axis=1)
+        ts_feat = jnp.concatenate([flat_pcl_feat, flat_kps_feat], axis=1)
+    if cfg.ts_with_init_scale:
+        ts_feat = jnp.concatenate([ts_feat, init_scale.astype(ts_feat.dtype)], axis=1)
+    if cfg.ts_with_init_trans:
+        ts_feat = jnp.concatenate([ts_feat, init_trans.astype(ts_feat.dtype)], axis=1)
+    ts_head = FCTransSizeHead(
+        feat_dim=cfg.ts_feat_dim, num_layers=cfg.ts_num_layers,
+        num_gn_groups=cfg.ts_num_gn_groups, dtype=cfg.dtype,
+    )
+    trans_deltas, scale_deltas = ts_head.apply({"params": params["ts_head"]}, ts_feat)
+
+    point_feats = jnp.concatenate([pcl_pf, kps_pf], axis=1)
+    interpret = jax.devices()[0].platform == "cpu"
+    rot_deltas6 = fused_conv_per_rot_head(
+        point_feats, g_pcl, g_kps, params["rot_head"], n_pcl=x.shape[1],
+        interpret=interpret,
+    )
+    return (
+        rot_deltas6.astype(jnp.float32),
+        trans_deltas.astype(jnp.float32),
+        scale_deltas.astype(jnp.float32),
+    )
+
+
 def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
                    pcl, obj_kps, pose_est, scale_est, K, mean_scales=None):
     """One full refine iteration: inputs -> deltas -> composed pose/scale.
@@ -177,9 +230,14 @@ def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
     if cfg.dtype is not None:
         x = x.astype(cfg.dtype)
         tfd_kps = tfd_kps.astype(cfg.dtype)
-    rot_deltas6, trans_deltas, scale_deltas = model.apply(
-        {"params": params}, x, tfd_kps, scale_est, pose_est[:, :3, 3]
-    )
+    if cfg.fused_heads:
+        rot_deltas6, trans_deltas, scale_deltas = delta_forward_fused(
+            cfg, params, x, tfd_kps, scale_est, pose_est[:, :3, 3]
+        )
+    else:
+        rot_deltas6, trans_deltas, scale_deltas = model.apply(
+            {"params": params}, x, tfd_kps, scale_est, pose_est[:, :3, 3]
+        )
     rot_m_deltas = rot6d_to_mat(rot_deltas6)
     scale_inits = scale_est if "iter" in cfg.scale_type else mean_scales
     pred_rot, pred_trans, pred_scale = pose_scale_from_delta_init(

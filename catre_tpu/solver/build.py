@@ -49,27 +49,35 @@ def _base_optimizer(opt_cfg: dict) -> tuple:
     return make, lr
 
 
-def build_optimizer(solver_cfg: dict, lr_mults: dict | None = None) -> optax.GradientTransformation:
+def build_optimizer(solver_cfg: dict, lr_mults: dict | None = None,
+                    frozen: tuple = ()) -> optax.GradientTransformation:
     """Build the optimizer with the lr exposed as an injectable hyperparam.
 
     Args:
       solver_cfg: the SOLVER config dict (OPTIMIZER_CFG inside).
       lr_mults: optional {top_level_param_key: multiplier}; multiplies the
-        update of that subtree (reference LR_MULT param groups).
+        update of that subtree (reference LR_MULT param groups,
+        `models/model_utils.py:66-167`).
+      frozen: top-level param keys whose updates are zeroed (the FREEZE
+        flags; the reference's freeze path is broken —
+        `CATRE_disR_shared.py:301-304` iterates the config — this one works).
     """
     opt_cfg = dict(solver_cfg.get("OPTIMIZER_CFG", {"type": "Ranger", "lr": 1e-4}))
     make, base_lr = _base_optimizer(opt_cfg)
+    mults = dict(lr_mults or {})
+    for k in frozen:
+        mults[k] = 0.0
 
     def factory(learning_rate):
         tx = make(learning_rate)
-        if lr_mults and any(m != 1.0 for m in lr_mults.values()):
+        if mults and any(m != 1.0 for m in mults.values()):
             def scale_tree(updates, state, params=None):
                 del params
                 import jax
 
                 def scale(path, u):
                     key = path[0].key if hasattr(path[0], "key") else str(path[0])
-                    return u * lr_mults.get(key, 1.0)
+                    return u * mults.get(key, 1.0)
 
                 return jax.tree_util.tree_map_with_path(scale, updates), state
 

@@ -1,0 +1,43 @@
+"""Fused rot-head Pallas kernel vs the flax reference (interpreter mode on
+CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from catre_tpu.models.heads import ConvOutPerRotHead
+from catre_tpu.ops.pallas_heads import fused_conv_per_rot_head
+
+RNG = np.random.default_rng(31)
+
+
+def test_fused_rot_head_matches_flax():
+    B, P, K = 3, 96, 64
+    pf = jnp.asarray(RNG.normal(size=(B, P + K, 64)).astype(np.float32) * 0.5)
+    g_pcl = jnp.asarray(RNG.normal(size=(B, 1024)).astype(np.float32) * 0.5)
+    g_kps = jnp.asarray(RNG.normal(size=(B, 1024)).astype(np.float32) * 0.5)
+
+    head = ConvOutPerRotHead(num_points=P + K)
+    params = head.init(jax.random.PRNGKey(0), pf, g_pcl, g_kps, P)["params"]
+    # give the head nontrivial weights (init is ~1e-3; scale up for signal)
+    params = jax.tree_util.tree_map(lambda x: x * 50.0 if x.ndim >= 1 else x, params)
+
+    ref = head.apply({"params": params}, pf, g_pcl, g_kps, P)
+    fused = fused_conv_per_rot_head(pf, g_pcl, g_kps, params, n_pcl=P, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_rot_head_split_position_matters():
+    """Different n_pcl must change the result (g term routing)."""
+    B, P, K = 2, 32, 32
+    pf = jnp.asarray(RNG.normal(size=(B, P + K, 64)).astype(np.float32))
+    g_pcl = jnp.asarray(RNG.normal(size=(B, 1024)).astype(np.float32))
+    g_kps = jnp.asarray(RNG.normal(size=(B, 1024)).astype(np.float32))
+    head = ConvOutPerRotHead(num_points=P + K)
+    params = head.init(jax.random.PRNGKey(1), pf, g_pcl, g_kps, P)["params"]
+    params = jax.tree_util.tree_map(lambda x: x * 50.0 if x.ndim >= 1 else x, params)
+
+    a = fused_conv_per_rot_head(pf, g_pcl, g_kps, params, n_pcl=P, interpret=True)
+    b = fused_conv_per_rot_head(pf, g_pcl, g_kps, params, n_pcl=P + K, interpret=True)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
