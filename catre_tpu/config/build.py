@@ -101,6 +101,7 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         sample_depth_from_ball=bool(inp.get("SAMPLE_DEPTH_FROM_BALL", True)),
         fps_sample=bool(inp.get("FPS_SAMPLE", False)),
         aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
+        occlude_mask_test=bool(inp.get("OCCLUDE_MASK_TEST", False)),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
         bbox_type_test=inp.get("BBOX_TYPE_TEST", "est"),
         init_pose_type_test=inp.get("INIT_POSE_TYPE_TEST", "est"),

@@ -42,6 +42,7 @@ class LoaderConfig:
     drop_depth_ratio: float = 0.2
     add_noise_depth_prob: float = 0.9
     add_noise_depth_level: float = 0.005
+    occlude_mask_test: bool = False
     max_objs_per_image: int = 8
     bbox_type_test: str = "est"       # est | gt
     init_pose_type_test: str = "est"  # est | gt_noise
@@ -83,6 +84,31 @@ def aug_depth_np(rng: np.random.Generator, depth: np.ndarray, cfg: LoaderConfig)
         noise = rng.normal(0, level, size=depth.shape)
         depth = np.where(depth > 0, depth + noise, depth)
     return depth.astype(np.float32)
+
+
+def occlude_mask_by_bbox(rng: np.random.Generator, mask: np.ndarray, bbox) -> np.ndarray:
+    """Test-time occlusion ablation (INPUT.OCCLUDE_MASK_TEST): zero one
+    quadrant of the bbox region, trying the reference's 4 variants in order
+    until the mask actually shrinks (`cat_data_utils.py:15-48`; note the
+    reference indexes rows with x and columns with y — reproduced)."""
+    x1, y1, x2, y2 = [int(v) for v in bbox]
+    for a in (0, 1, 2, 3):
+        occluded = mask.copy()
+        top_x = int(x1 * 0.75 + x2 * 0.25)
+        end_x = int(x1 * 0.25 + x2 * 0.75)
+        top_y = int(y1 * 0.75 + y2 * 0.25)
+        end_y = int(y1 * 0.25 + y2 * 0.75)
+        if a == 0:
+            occluded[top_x:x2, top_y:y2] = 0
+        elif a == 1:
+            occluded[x1:end_x, top_y:y2] = 0
+        elif a == 2:
+            occluded[x1:end_x, y1:end_y] = 0
+        else:
+            occluded[top_x:x2, y1:end_y] = 0
+        if mask.sum() > 0 and occluded.sum() / mask.sum() < 1.0:
+            return occluded
+    return mask
 
 
 def mask_from_annotation(anno: dict, h: int, w: int) -> np.ndarray:
@@ -136,6 +162,10 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
         obj_name = meta.ID2OBJ[anno["category_id"] + 1]
         sym[i] = meta.sym_flag(obj_name, handles[i])
         masks[i] = mask_from_annotation(anno, h, w)
+        if phase == "test" and cfg.occlude_mask_test:
+            bb = anno.get("bbox_est", anno.get("bbox"))
+            if bb is not None:
+                masks[i] = occlude_mask_by_bbox(rng, masks[i], bb)
         scores[i] = anno.get("score", 1.0)
         valid[i] = True
         if phase == "train" or "pose" in anno:

@@ -85,8 +85,11 @@ def _kernel(n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
 
     rx = run(gterm_x_ref, px)  # (1, 3)
     ry = run(gterm_y_ref, py)
-    out_ref[:, :3] = rx
-    out_ref[:, 3:] = ry
+    # out block is (1, 8, 128) to satisfy TPU tiling; row 0 cols 0:6 are real
+    padded = jnp.zeros((8, 128), dtype=jnp.float32)
+    padded = padded.at[0, 0:3].set(rx[0])
+    padded = padded.at[0, 3:6].set(ry[0])
+    out_ref[0] = padded
 
 
 def _head_param_list(hp: dict):
@@ -154,12 +157,14 @@ def fused_conv_per_rot_head(point_feats: jnp.ndarray, g_pcl: jnp.ndarray,
             pl.BlockSpec((1, 2, feat_dim), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, feat_dim), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         ] + param_specs,
-        out_specs=pl.BlockSpec((1, 6), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 6), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
     )(n_pcl_arr, point_feats, gx, gy, *px[1:], *py[1:])
+    return out[:, 0, :6]
