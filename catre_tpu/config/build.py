@@ -103,6 +103,10 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
         occlude_mask_test=bool(inp.get("OCCLUDE_MASK_TEST", False)),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
+        init_pose_train_path=(
+            inp.get("INIT_POSE_TRAIN_PATH", "")
+            if "last_frame" in tuple(inp.get("INIT_POSE_TYPE_TRAIN", ())) else ""
+        ),
         bbox_type_test=inp.get("BBOX_TYPE_TEST", "est"),
         init_pose_type_test=inp.get("INIT_POSE_TYPE_TEST", "est"),
         noise_rot_std_test=float(inp.get("NOISE_ROT_STD_TEST", 15)),

@@ -44,6 +44,10 @@ class LoaderConfig:
     add_noise_depth_level: float = 0.005
     occlude_mask_test: bool = False
     max_objs_per_image: int = 8
+    # optional per-frame previous-frame estimates for the last_frame init
+    # mode (INPUT.INIT_POSE_TRAIN_PATH): dict scene_im_id -> (n_inst, 3, 5)
+    # [R | t | s] arrays aligned with annotation order
+    init_pose_train_path: str = ""
     bbox_type_test: str = "est"       # est | gt
     init_pose_type_test: str = "est"  # est | gt_noise
     # gt_noise test mode (validation without external detections)
@@ -241,6 +245,12 @@ class CATRELoader:
         self._sampler = _make_image_sampler(cfg)
         self._mean_points = assets.mean_shape_array()
         self._mean_scales = meta.mean_scales_array()
+        self._last_frame = None
+        if cfg.init_pose_train_path:
+            import pickle
+
+            with open(cfg.init_pose_train_path, "rb") as f:
+                self._last_frame = pickle.load(f)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -264,6 +274,16 @@ class CATRELoader:
         )
         data["pcl"] = np.asarray(pcls)
         data["n_inside"] = np.asarray(n_inside)
+        if self._last_frame is not None:
+            m = self.cfg.max_objs_per_image
+            lf = np.tile(np.eye(3, 5, dtype=np.float32), (m, 1, 1))
+            lf[:, 2, 3] = 1.0
+            lf[:, :, 4] = 0.1
+            prev = self._last_frame.get(record["scene_im_id"])
+            if prev is not None:
+                n = min(len(prev), m)
+                lf[:n] = np.asarray(prev, dtype=np.float32)[:n]
+            data["last_frame_poses"] = lf
         return data
 
     def _flatten(self, images: list) -> dict:
@@ -271,6 +291,8 @@ class CATRELoader:
         keys = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "mug_handle",
                 "obj_bbox", "score", "obj_pose_est", "obj_scale_est", "valid",
                 "obj_mean_points", "obj_mean_scales"]
+        if self._last_frame is not None:
+            keys = keys + ["last_frame_poses"]
         batch = {k: np.concatenate([im[k] for im in images], axis=0) for k in keys}
         m = self.cfg.max_objs_per_image
         batch["K"] = np.concatenate(

@@ -70,6 +70,8 @@ def _batch_to_device(batch: dict, max_objs: int | None = None,
 
     keep = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "valid",
             "obj_mean_points", "obj_mean_scales", "K"]
+    if "last_frame_poses" in batch:
+        keep = keep + ["last_frame_poses"]
     out = {}
     for k in keep:
         v = batch[k]

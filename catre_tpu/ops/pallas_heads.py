@@ -29,8 +29,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (abs err ~1.5e-7): Pallas TPU
+    has no erf lowering; this keeps the kernel within bf16 noise of the
+    exact-GELU flax path."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return sign * y
+
+
 def _gelu_exact(x):
-    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+    return 0.5 * x * (1.0 + _erf_approx(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
 def _group_norm_rows(x, scale, bias, num_groups=32, eps=1e-5):
