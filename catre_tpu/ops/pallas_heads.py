@@ -46,22 +46,32 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_approx(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
+def _group_onehot(C, num_groups):
+    """(C, G) one-hot channel->group matrix built from iota (reshape-free:
+    Mosaic rejects lane-splitting shape casts)."""
+    cg = C // num_groups
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    return (cidx // cg == gidx).astype(jnp.float32)
+
+
 def _group_norm_rows(x, scale, bias, num_groups=32, eps=1e-5):
     """GN over a (P, C) block: stats per group of C//G channels across all P
-    rows. All intermediates kept 2-D for Mosaic."""
+    rows; group aggregation/broadcast via one-hot matmuls (MXU)."""
     P, C = x.shape
     cg = C // num_groups
+    M = _group_onehot(C, num_groups)             # (C, G)
     s1 = jnp.sum(x, axis=0, keepdims=True)       # (1, C)
     s2 = jnp.sum(x * x, axis=0, keepdims=True)   # (1, C)
-    g1 = jnp.sum(s1.reshape(num_groups, cg), axis=1, keepdims=True)  # (G, 1)
-    g2 = jnp.sum(s2.reshape(num_groups, cg), axis=1, keepdims=True)
+    g1 = jnp.dot(s1, M, preferred_element_type=jnp.float32)  # (1, G)
+    g2 = jnp.dot(s2, M, preferred_element_type=jnp.float32)
     n = P * cg
     mean_g = g1 / n
     var_g = g2 / n - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast (G, 1) group stats to (1, C) channel vectors
-    mean_c = jnp.broadcast_to(mean_g, (num_groups, cg)).reshape(1, C)
-    inv_c = jnp.broadcast_to(inv_g, (num_groups, cg)).reshape(1, C)
+    # back to channel vectors: (1, G) @ (G, C)
+    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32)
     return (x - mean_c) * inv_c * scale + bias
 
 
@@ -98,11 +108,10 @@ def _kernel(n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
 
     rx = run(gterm_x_ref, px)  # (1, 3)
     ry = run(gterm_y_ref, py)
-    # out block is (1, 8, 128) to satisfy TPU tiling; row 0 cols 0:6 are real
-    padded = jnp.zeros((8, 128), dtype=jnp.float32)
-    padded = padded.at[0, 0:3].set(rx[0])
-    padded = padded.at[0, 3:6].set(ry[0])
-    out_ref[0] = padded
+    # out block is (1, 8, 128) to satisfy TPU tiling; row 0 cols 0:6 are real.
+    # Built by concatenation (no scatter lowering on TPU).
+    row = jnp.concatenate([rx, ry, jnp.zeros((1, 122), jnp.float32)], axis=1)
+    out_ref[0] = jnp.concatenate([row, jnp.zeros((7, 128), jnp.float32)], axis=0)
 
 
 def _head_param_list(hp: dict):
