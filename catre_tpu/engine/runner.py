@@ -276,6 +276,8 @@ def do_test(cfg, params_override=None) -> dict:
             kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
             num_kps=int(cfg.INPUT.get("NUM_KPS", 1024)),
         )
+        if cfg.TEST.get("VIS", False):
+            _save_visualizations(dicts, evaluator, output_dir)
         if cfg.TEST.get("SAVE_RESULTS_ONLY", False):
             # results.pkl with poses/scales at every iter, keyed by
             # scene_im_id (mirrors `catre_save_result_of_dataset`,
@@ -286,6 +288,44 @@ def do_test(cfg, params_override=None) -> dict:
             results = evaluator.evaluate()
         results_all[dset_name] = {"stats": stats, "results": results}
     return results_all
+
+
+def _save_visualizations(dicts: list, evaluator: CATREEvaluator, output_dir: str,
+                         n_images: int = 5) -> None:
+    """TEST.VIS debug path: depth heatmap with projected 3D boxes for the
+    initial (iter0, yellow) and final (green) estimates plus gt (blue) —
+    analogue of the reference's vis in `catre_evaluator.py:652-673`."""
+    from ..data.loader import load_depth
+    from ..utils.vis import draw_projected_box3d, heatmap
+
+    vis_dir = osp.join(output_dir, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    final_iter = evaluator.n_iters
+    done = 0
+    for rec in dicts:
+        sid = rec["scene_im_id"]
+        if sid not in evaluator._preds[final_iter] or "depth_file" not in rec:
+            continue
+        try:
+            depth = load_depth(rec["depth_file"])
+        except FileNotFoundError:
+            continue
+        img = heatmap(depth)
+        K = np.asarray(rec["cam"])
+        gt = evaluator._gts.get(sid, {})
+        for RT, s in zip(gt.get("gt_RTs", []), gt.get("gt_scales", [])):
+            img = draw_projected_box3d(img, s, RT[:3], K, color=(255, 0, 0))
+        for it, color in [(0, (0, 255, 255)), (final_iter, (0, 255, 0))]:
+            pred = evaluator._preds[it][sid]
+            for RT, s in zip(pred["pred_RTs"], pred["pred_scales"]):
+                img = draw_projected_box3d(img, s, RT[:3], K, color=color)
+        import cv2
+
+        cv2.imwrite(osp.join(vis_dir, sid.replace("/", "_") + ".png"), img)
+        done += 1
+        if done >= n_images:
+            break
+    logger.info("saved %d visualizations to %s", done, vis_dir)
 
 
 def _save_results_pkl(evaluator: CATREEvaluator, path: str) -> None:

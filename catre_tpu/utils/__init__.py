@@ -1,0 +1,3 @@
+from . import checkpoint, events, profiler
+
+__all__ = ["checkpoint", "events", "profiler"]
