@@ -66,13 +66,20 @@ class NOCSDataset:
 
     # -------------------------------------------------- image list
     def _image_list_path(self) -> str:
+        if "part2" in self.name:
+            part2 = osp.join(self.image_root, f"{self.split}_list_part2.txt")
+            if osp.exists(part2):
+                return part2
         return osp.join(self.image_root, f"{self.split}_list_all.txt")
 
     def _list_images(self) -> list:
         path = self._image_list_path()
         if osp.exists(path):
             with open(path) as f:
-                return sorted(x.strip() for x in f if x.strip())
+                lines = sorted(x.strip() for x in f if x.strip())
+            if "part2" in self.name and path.endswith("_list_all.txt"):
+                lines = lines[len(lines) // 2:]  # second half fallback
+            return lines
         # fall back to directory scan: <split>/scene_x/NNNN_color.png
         split_dir = osp.join(self.image_root, self.split)
         out = []
@@ -331,7 +338,9 @@ def get_dataset_dicts(name: str, **kwargs) -> list:
 # default splits mirroring `SPLITS_NOCS` (`nocs.py:311-374`, `cmra.py:298`)
 DEFAULT_SPLITS = [
     "nocs_train_real", "nocs_test_real", "nocs_train_cmra", "nocs_val_cmra",
-] + [f"nocs_test_real_{obj}" for obj in meta.OBJECTS]
+    "nocs_train_cmra_part2",
+] + [f"nocs_test_real_{obj}" for obj in meta.OBJECTS] \
+  + [f"nocs_train_real_{obj}" for obj in meta.OBJECTS]
 
 
 def register_default_splits() -> None:

@@ -197,6 +197,10 @@ def make_train_step(model: CATREDisRShared, cfg: CATREConfig, loss_cfg: LossConf
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, key, lr):
         batch = prepare_train_batch(key, batch, noise_cfg)
+        if not cfg.refine_scale:
+            # REFINE_SCLAE=False: the scale estimate is the (unperturbed) gt
+            # and stays fixed (`batch_updater`, batching.py:118-121)
+            batch["obj_scale_est"] = batch["obj_scale"]
         opt_state = _set_lr(state.opt_state, lr)
 
         def body(carry, _):

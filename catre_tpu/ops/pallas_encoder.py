@@ -22,34 +22,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(relu_last: bool, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+def _chain_kernel(relu_last: bool, cdt, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                   w3_ref, b3_ref, out_ref):
-    x = x_ref[0].astype(jnp.float32)  # (P, C_in)
+    # matmuls run in the compute dtype (bf16 on TPU -> full MXU rate) with
+    # f32 accumulation; the max-pool output is f32
+    x = x_ref[0].astype(cdt)  # (P, C_in)
     h = jnp.maximum(jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-                    + b1_ref[...], 0.0)
+                    + b1_ref[...], 0.0).astype(cdt)
     h = jnp.maximum(jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-                    + b2_ref[...], 0.0)
+                    + b2_ref[...], 0.0).astype(cdt)
     h = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32) + b3_ref[...]
     if relu_last:
         h = jnp.maximum(h, 0.0)
-    m = jnp.max(h, axis=0, keepdims=True)  # (1, C_out)
+    m = jnp.max(h, axis=0, keepdims=True)  # (1, C_out) f32
     out_ref[0] = jnp.concatenate(
         [m, jnp.full((7, m.shape[1]), -jnp.inf, jnp.float32)], axis=0
     )
 
 
-@partial(jax.jit, static_argnames=("relu_last", "interpret"))
+@partial(jax.jit, static_argnames=("relu_last", "interpret", "compute_dtype"))
 def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
-               relu_last: bool = False, interpret: bool = False) -> jnp.ndarray:
-    """max over points of chain(x): (B, P, C_in) -> (B, C_out).
+               relu_last: bool = False, interpret: bool = False,
+               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """max over points of chain(x): (B, P, C_in) -> (B, C_out) f32.
 
     Weights are flax Dense kernels (in, out); biases 1-D.
     """
     B, P, _ = x.shape
     c_out = w3.shape[1]
+    cdt = jnp.float32 if interpret else compute_dtype
 
     def prep_w(w):
-        return w.astype(jnp.float32)
+        return w.astype(cdt)
 
     def prep_b(b):
         return b.astype(jnp.float32).reshape(1, -1)
@@ -57,7 +61,7 @@ def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
     args = [prep_w(w1), prep_b(b1), prep_w(w2), prep_b(b2), prep_w(w3), prep_b(b3)]
 
     out = pl.pallas_call(
-        partial(_chain_kernel, relu_last),
+        partial(_chain_kernel, relu_last, cdt),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, P, x.shape[2]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),

@@ -75,20 +75,23 @@ def _group_norm_rows(x, scale, bias, num_groups=32, eps=1e-5):
     return (x - mean_c) * inv_c * scale + bias
 
 
-def _head_body(pf, g_sel, w_pt, b0, gn0_s, gn0_b, w1, b1, gn1_s, gn1_b,
+def _head_body(cdt, pf, g_sel, w_pt, b0, gn0_s, gn0_b, w1, b1, gn1_s, gn1_b,
                neck_w, neck_b, pw, pb):
-    """One per-axis head for one object. pf: (P, 64) f32; g_sel: (P, 256)
-    precomputed global term. 1-D params arrive reshaped to (1, -1)."""
-    x = jnp.dot(pf, w_pt, preferred_element_type=jnp.float32) + g_sel + b0
+    """One per-axis head for one object. pf: (P, 64); g_sel: (P, 256) f32
+    precomputed global term. 1-D params arrive reshaped to (1, -1).
+    Matmuls run in `cdt` (bf16 on TPU) with f32 accumulation; GN/GELU f32."""
+    x = jnp.dot(pf.astype(cdt), w_pt.astype(cdt),
+                preferred_element_type=jnp.float32) + g_sel + b0
     x = _gelu_exact(_group_norm_rows(x, gn0_s, gn0_b))
-    x = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1
+    x = jnp.dot(x.astype(cdt), w1.astype(cdt),
+                preferred_element_type=jnp.float32) + b1
     x = _gelu_exact(_group_norm_rows(x, gn1_s, gn1_b))
-    v = jnp.dot(pw, x, preferred_element_type=jnp.float32)  # (1, 256)
+    v = jnp.dot(pw, x, preferred_element_type=jnp.float32)  # (1, 256) f32
     out = v @ neck_w + jnp.sum(pw) * neck_b + pb  # (1, 3)
     return out
 
 
-def _kernel(n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
+def _kernel(cdt, n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
     """Grid step = one object. refs: 12 params for head x (w_g excluded —
     its term is precomputed), 12 for head y, then out_ref (1, 6)."""
     px = refs[:12]
@@ -96,7 +99,7 @@ def _kernel(n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
     out_ref = refs[24]
     n_pcl = n_pcl_ref[0]
 
-    pf = pf_ref[0].astype(jnp.float32)  # (P, 64)
+    pf = pf_ref[0]  # (P, 64)
     P = pf.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     is_pcl = row < n_pcl  # (P, 1)
@@ -104,7 +107,7 @@ def _kernel(n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
     def run(gterm_ref, params):
         gt = gterm_ref[0].astype(jnp.float32)  # (2, 256): [pcl term, kps term]
         g_sel = jnp.where(is_pcl, gt[0][None, :], gt[1][None, :])
-        return _head_body(pf, g_sel, *[p[...] for p in params])
+        return _head_body(cdt, pf, g_sel, *[p[...] for p in params])
 
     rx = run(gterm_x_ref, px)  # (1, 3)
     ry = run(gterm_y_ref, py)
@@ -129,10 +132,11 @@ def _head_param_list(hp: dict):
     ]
 
 
-@partial(jax.jit, static_argnames=("n_pcl", "interpret"))
+@partial(jax.jit, static_argnames=("n_pcl", "interpret", "compute_dtype"))
 def fused_conv_per_rot_head(point_feats: jnp.ndarray, g_pcl: jnp.ndarray,
                             g_kps: jnp.ndarray, rot_head_params: dict,
-                            n_pcl: int, interpret: bool = False) -> jnp.ndarray:
+                            n_pcl: int, interpret: bool = False,
+                            compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Fused ConvOutPerRotHead forward.
 
     Args:
@@ -183,8 +187,9 @@ def fused_conv_per_rot_head(point_feats: jnp.ndarray, g_pcl: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
 
+    cdt = jnp.float32 if interpret else compute_dtype
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, cdt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
