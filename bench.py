@@ -8,6 +8,7 @@ vs_baseline is measured against the north-star target rate of
 """
 
 import json
+import os
 import sys
 import time
 
@@ -27,8 +28,10 @@ def main():
     n_iter = 4
     results = {}
 
-    for dtype_name, dtype, fused in [("bf16_fused", jnp.bfloat16, True),
-                                     ("bf16", jnp.bfloat16, False)]:
+    variants = [("bf16_fused", jnp.bfloat16, True)]
+    if os.environ.get("BENCH_FULL", ""):  # compare against the unfused path
+        variants.append(("bf16", jnp.bfloat16, False))
+    for dtype_name, dtype, fused in variants:
         cfg = CATREConfig(dtype=dtype, fused_heads=fused)
         model = CATREDisRShared(cfg)
         params = init_params(model, cfg, jax.random.PRNGKey(0))
