@@ -19,6 +19,14 @@ BASELINE_OBJ_PER_SEC_PER_CHIP = 50_000 / 8.0
 
 def main():
     import jax
+
+    # persistent compilation cache: remote compiles in this image are slow
+    # (minutes); repeat runs hit the disk cache
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from catre_tpu.engine.refiner import make_refine_fn

@@ -76,6 +76,15 @@ def main(args=None):
     args = my_default_argument_parser().parse_args(args)
     cfg = setup(args)
 
+    import jax
+
+    try:  # persistent compile cache (remote compiles are slow in this image)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from catre_tpu.engine.runner import do_test, do_train
 
     if args.eval_only:
