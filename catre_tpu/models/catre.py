@@ -173,29 +173,27 @@ def delta_forward_fused(cfg: CATREConfig, params, x, tfd_kps, init_scale, init_t
     same numerics as CATREDisRShared.__call__ to float tolerance."""
     import jax
 
-    from ..ops.pallas_encoder import pointnet_forward_fused
     from ..ops.pallas_heads import fused_conv_per_rot_head
     from .heads import FCTransSizeHead
+    from .pointnet import PointNetFeat
 
     B = x.shape[0]
     interpret = jax.devices()[0].platform == "cpu"
+    # encoder stays on the XLA path: its batched (2B*P, C) matmuls already
+    # run near the roofline, and a per-cloud Pallas grid measured SLOWER
+    # (3.7k vs 4.3k obj/s) — kept in ops/pallas_encoder.py for future tuning
+    enc = PointNetFeat(
+        out_dim=cfg.pclnet_out_dim, global_feat=False,
+        feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
+    )
     both = jnp.concatenate([x, tfd_kps], axis=0) if x.shape[1] == tfd_kps.shape[1] else None
     if both is not None:
-        pf, gf = pointnet_forward_fused(
-            params["pcl_net"], both, feature_transform=cfg.feature_transform,
-            interpret=interpret,
-        )
+        pf, gf = enc.apply({"params": params["pcl_net"]}, both)
         pcl_pf, kps_pf = pf[:B], pf[B:]
         g_pcl, g_kps = gf[:B], gf[B:]
     else:
-        pcl_pf, g_pcl = pointnet_forward_fused(
-            params["pcl_net"], x, feature_transform=cfg.feature_transform,
-            interpret=interpret,
-        )
-        kps_pf, g_kps = pointnet_forward_fused(
-            params["pcl_net"], tfd_kps, feature_transform=cfg.feature_transform,
-            interpret=interpret,
-        )
+        pcl_pf, g_pcl = enc.apply({"params": params["pcl_net"]}, x)
+        kps_pf, g_kps = enc.apply({"params": params["pcl_net"]}, tfd_kps)
 
     flat_pcl_feat = jnp.concatenate([g_pcl, jnp.max(pcl_pf, axis=1)], axis=1)
     ts_feat = flat_pcl_feat
