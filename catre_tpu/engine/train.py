@@ -9,7 +9,7 @@ Batch-level 3D augmentation and gt-noise init-pose sampling
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple
 

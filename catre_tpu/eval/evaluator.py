@@ -9,7 +9,6 @@ dataset dicts, per-iteration mAP tables) and
 
 from __future__ import annotations
 
-import copy
 import logging
 import os
 import os.path as osp

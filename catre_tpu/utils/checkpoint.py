@@ -15,7 +15,6 @@ import os
 from typing import Any, Mapping
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def _np(x) -> np.ndarray:
