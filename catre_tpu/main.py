@@ -56,6 +56,11 @@ def setup(args):
         ],
     )
 
+    if cfg.get("DEBUG", False):
+        # DEBUG mode (`main_catre.py:104-109`): tighten feedback loops
+        cfg["TRAIN"]["PRINT_FREQ"] = 1
+        cfg["DATALOADER"]["NUM_WORKERS"] = 0
+
     seed = cfg.get("SEED", -1)
     if seed < 0:
         import time as _t
