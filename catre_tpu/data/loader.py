@@ -319,10 +319,19 @@ class CATRELoader:
                         yield self._flatten(images)
                         images = []
         else:
+            # test: fixed-size groups of images flattened into one padded
+            # object batch (ims_per_batch=1 reproduces the reference's
+            # one-image-per-step evaluation; larger values batch the jit)
+            group = []
             for record in self.dicts:
                 data = self._process_image(record)
                 if data is None:
                     yield {"scene_im_ids": [record["scene_im_id"]], "empty": True,
                            "record": record}
                     continue
-                yield self._flatten([data])
+                group.append(data)
+                if len(group) == self.ims_per_batch:
+                    yield self._flatten(group)
+                    group = []
+            if group:
+                yield self._flatten(group)

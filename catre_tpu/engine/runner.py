@@ -269,7 +269,10 @@ def do_test(cfg, params_override=None) -> dict:
             continue
 
         loader_cfg = loader_config_from(cfg, "test")
-        loader = CATRELoader(dicts, loader_cfg, phase="test", ims_per_batch=1)
+        # TEST.IMS_PER_BATCH > 1 batches several images per jit call (the
+        # reference evaluates one image per step; 1 reproduces that)
+        loader = CATRELoader(dicts, loader_cfg, phase="test",
+                             ims_per_batch=int(cfg.TEST.get("IMS_PER_BATCH", 1)))
         refine = make_refine_fn(model, mcfg, n_iter=n_iter)
         stats = run_inference(
             refine, params, iter(loader), evaluator, n_iters=n_iter,

@@ -197,15 +197,16 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
 
         t1 = time.perf_counter()
         valid = np.asarray(batch["valid"])
-        scene_im_id = batch["scene_im_ids"][0]
-        cls1 = np.asarray(batch["obj_cls"])[valid] + 1
-        scores = np.asarray(batch["score"])[valid]
-        bboxes_xyxy = np.asarray(batch["obj_bbox"])[valid]
-        bboxes_yxyx = bboxes_xyxy[:, [1, 0, 3, 2]]
-        for refine_i in range(n_iters + 1):
-            p44 = np.asarray(pose_3x4_to_4x4(poses[refine_i][valid]))
-            evaluator.process(scene_im_id, refine_i, p44, scales[refine_i][valid],
-                              cls1, scores, bboxes_yxyx)
+        im_ids = np.asarray(batch["im_id"])
+        cls_all = np.asarray(batch["obj_cls"]) + 1
+        scores_all = np.asarray(batch["score"])
+        bb_all = np.asarray(batch["obj_bbox"])[:, [1, 0, 3, 2]]  # xyxy -> yxyx
+        for local_i, scene_im_id in enumerate(batch["scene_im_ids"]):
+            sel = valid & (im_ids == local_i)
+            for refine_i in range(n_iters + 1):
+                p44 = np.asarray(pose_3x4_to_4x4(poses[refine_i][sel]))
+                evaluator.process(scene_im_id, refine_i, p44, scales[refine_i][sel],
+                                  cls_all[sel], scores_all[sel], bb_all[sel])
         if i >= warmup:
             total_process += time.perf_counter() - t1
 

@@ -45,7 +45,7 @@ def test_gt_init_scores_perfect(fake_real_root):  # noqa: F811
     refine = make_refine_fn(model, cfg, n_iter=1)
 
     loader = CATRELoader(dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4,
-                                             aug_depth=False), phase="test")
+                                             aug_depth=False), phase="test", ims_per_batch=1)
     evaluator = CATREEvaluator(dicts, n_iters=1)
     stats = run_inference(refine, params, iter(loader), evaluator, n_iters=1, warmup=0)
     assert stats["images"] == 2
@@ -62,6 +62,32 @@ def test_gt_init_scores_perfect(fake_real_root):  # noqa: F811
     assert all(np.isfinite(v) for v in s1.values())
 
 
+def test_batched_test_images_match_per_image(fake_real_root):  # noqa: F811
+    """ims_per_batch=2 (both fixture images in ONE jit call) must give the
+    same evaluator input as per-image evaluation."""
+    dicts = _dicts_with_init(fake_real_root, noise=0.0)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+
+    results = {}
+    for ipb in (1, 2):
+        loader = CATRELoader(
+            dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4, aug_depth=False),
+            phase="test", ims_per_batch=ipb, seed=0,
+        )
+        evaluator = CATREEvaluator(dicts, n_iters=1)
+        run_inference(refine, params, iter(loader), evaluator, n_iters=1, warmup=0)
+        results[ipb] = evaluator.evaluate(dump=False)
+    np.testing.assert_allclose(
+        results[1][1]["pose_aps"], results[2][1]["pose_aps"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        results[1][0]["iou_aps"], results[2][0]["iou_aps"], atol=1e-9
+    )
+
+
 def test_noisy_init_scores_degrade(fake_real_root):  # noqa: F811
     """iter0 with 10cm translation noise must not be perfect at te2."""
     dicts = _dicts_with_init(fake_real_root, noise=0.10)
@@ -71,7 +97,7 @@ def test_noisy_init_scores_degrade(fake_real_root):  # noqa: F811
     refine = make_refine_fn(model, cfg, n_iter=1)
 
     loader = CATRELoader(dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4,
-                                             aug_depth=False), phase="test")
+                                             aug_depth=False), phase="test", ims_per_batch=1)
     evaluator = CATREEvaluator(dicts, n_iters=1)
     run_inference(refine, params, iter(loader), evaluator, n_iters=1, warmup=0)
     results = evaluator.evaluate(dump=False)
