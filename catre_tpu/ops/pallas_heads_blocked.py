@@ -29,8 +29,9 @@ def _blocked_kernel(cdt, G, P, n_pcl, *refs):
     py = refs[15:27]
     out_ref = refs[27]
 
-    # flatten G objects by static concatenation: (G*P, 64)
-    pf = jnp.concatenate([pf_ref[i] for i in range(G)], axis=0)
+    # flatten G objects: leading-dims collapse (sublane-contiguous, no lane
+    # change — supported by Mosaic, unlike lane-splitting casts)
+    pf = pf_ref[...].reshape(G * P, pf_ref.shape[2])
 
     # row -> object one-hot (G*P, G) and pcl/kps row mask (G*P, 1)
     r = jax.lax.broadcasted_iota(jnp.int32, (G * P, 1), 0)
@@ -58,13 +59,18 @@ def _blocked_kernel(cdt, G, P, n_pcl, *refs):
         v = jnp.dot((obj_oh * pw_rows).T, x, preferred_element_type=jnp.float32)  # (G, 256)
         return v @ neck_w + jnp.sum(pw) * neck_b + pb  # (G, 3)
 
-    rx = run(gx_ref, px)
+    rx = run(gx_ref, px)  # (G, 3)
     ry = run(gy_ref, py)
-    pad = jnp.zeros((1, 122), jnp.float32)
+    # out block is (1, G*8, 128): object i's result in row 8*i, cols 0:6 —
+    # assembled by one axis-0 concat of (1,128)/(7,128) pieces
+    pad = jnp.zeros((G, 122), jnp.float32)
+    rows6 = jnp.concatenate([rx, ry, pad], axis=1)  # (G, 128)
     zeros7 = jnp.zeros((7, 128), jnp.float32)
+    pieces = []
     for i in range(G):
-        row = jnp.concatenate([rx[i : i + 1], ry[i : i + 1], pad], axis=1)
-        out_ref[i] = jnp.concatenate([row, zeros7], axis=0)
+        pieces.append(rows6[i : i + 1])
+        pieces.append(zeros7)
+    out_ref[0] = jnp.concatenate(pieces, axis=0)  # (G*8, 128)
 
 
 def _gn_segmented(x, obj_oh, scale, bias, P, num_groups=32, eps=1e-5):
@@ -129,8 +135,8 @@ def fused_conv_per_rot_head_blocked(point_feats: jnp.ndarray, g_pcl: jnp.ndarray
             pl.BlockSpec((G, 2, feat_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, 2, feat_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ] + param_specs,
-        out_specs=pl.BlockSpec((G, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        out_specs=pl.BlockSpec((1, G * 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B // G, G * 8, 128), jnp.float32),
         interpret=interpret,
     )(point_feats, gx, gy, *px[1:], *py[1:])
-    return out[:, 0, :6]
+    return out.reshape(B, 8, 128)[:, 0, :6]
