@@ -170,9 +170,15 @@ def do_train(cfg, resume: bool = False) -> None:
     eval_period = int(cfg.TEST.get("EVAL_PERIOD", 0))
     print_freq = int(cfg.TRAIN.get("PRINT_FREQ", 100))
 
+    tb_dir = osp.join(output_dir, "tb")
+    if not resume and osp.isdir(tb_dir):
+        # fresh run: back the old tensorboard dir up (ref engine.py:152-161)
+        import shutil
+
+        shutil.move(tb_dir, tb_dir + f"_old_{int(time.time())}")
     storage = EventStorage(start_iter)
     writers = [MetricPrinter(max_iter), JSONWriter(osp.join(output_dir, "metrics.json")),
-               TensorboardWriter(osp.join(output_dir, "tb"))]
+               TensorboardWriter(tb_dir)]
 
     key = jax.random.PRNGKey(1000 + max(cfg.get("SEED", 0), 0))
     rng_host = np.random.default_rng(max(cfg.get("SEED", 0), 0))
