@@ -44,6 +44,8 @@ def build_model(cfg):
     mcfg = model_config_from(cfg)
     model = CATREDisRShared(mcfg)
     params = init_params(model, mcfg, jax.random.PRNGKey(max(cfg.get("SEED", 0), 0)))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    logger.info("model %s: %.2fM parameters", cfg.MODEL.CATRE.NAME, n_params / 1e6)
     if cfg.MODEL.get("WEIGHTS", ""):
         path = cfg.MODEL.WEIGHTS
         if path.endswith((".pth", ".pkl")):

@@ -42,21 +42,25 @@ def _blocked_kernel(cdt, G, P, n_pcl, *refs):
     def run(gterm_ref, params):
         (w_pt, b0, gn0_s, gn0_b, w1, b1, gn1_s, gn1_b,
          neck_w, neck_b, pw, pb) = [p[...] for p in params]
-        # per-object global terms routed to rows: (G*P, G) @ (G, 256)
+        # per-object global terms routed to rows: (G*P, G) @ (G, 256).
+        # Large (G*P, C) intermediates are kept in the compute dtype (bf16 on
+        # TPU) — f32 buffers at G>=2 blow the VMEM stack (47MB at G=4).
         gt = gterm_ref[...]  # (G, 2, 256)
-        g_pcl_rows = jnp.dot(obj_oh, gt[:, 0, :], preferred_element_type=jnp.float32)
-        g_kps_rows = jnp.dot(obj_oh, gt[:, 1, :], preferred_element_type=jnp.float32)
+        g_pcl_rows = jnp.dot(obj_oh.astype(cdt), gt[:, 0, :].astype(cdt),
+                             preferred_element_type=jnp.float32)
+        g_kps_rows = jnp.dot(obj_oh.astype(cdt), gt[:, 1, :].astype(cdt),
+                             preferred_element_type=jnp.float32)
         g_sel = jnp.where(is_pcl, g_pcl_rows, g_kps_rows)
 
         x = jnp.dot(pf.astype(cdt), w_pt.astype(cdt),
                     preferred_element_type=jnp.float32) + g_sel + b0
-        x = _gelu_exact(_gn_segmented(x, obj_oh, gn0_s, gn0_b, P))
-        x = jnp.dot(x.astype(cdt), w1.astype(cdt),
-                    preferred_element_type=jnp.float32) + b1
-        x = _gelu_exact(_gn_segmented(x, obj_oh, gn1_s, gn1_b, P))
+        x = _gelu_exact(_gn_segmented(x.astype(cdt), obj_oh, gn0_s, gn0_b, P, cdt)).astype(cdt)
+        x = jnp.dot(x, w1.astype(cdt), preferred_element_type=jnp.float32) + b1
+        x = _gelu_exact(_gn_segmented(x.astype(cdt), obj_oh, gn1_s, gn1_b, P, cdt)).astype(cdt)
         # conv_p per object: rows weighted by pw (same (P,) for every object)
         pw_rows = jnp.concatenate([pw.T for _ in range(G)], axis=0)  # (G*P, 1)
-        v = jnp.dot((obj_oh * pw_rows).T, x, preferred_element_type=jnp.float32)  # (G, 256)
+        v = jnp.dot((obj_oh * pw_rows).T.astype(cdt), x,
+                    preferred_element_type=jnp.float32)  # (G, 256)
         return v @ neck_w + jnp.sum(pw) * neck_b + pb  # (G, 3)
 
     rx = run(gx_ref, px)  # (G, 3)
@@ -73,16 +77,19 @@ def _blocked_kernel(cdt, G, P, n_pcl, *refs):
     out_ref[0] = jnp.concatenate(pieces, axis=0)  # (G*8, 128)
 
 
-def _gn_segmented(x, obj_oh, scale, bias, P, num_groups=32, eps=1e-5):
+def _gn_segmented(x, obj_oh, scale, bias, P, cdt=jnp.float32, num_groups=32, eps=1e-5):
     """GroupNorm with per-object statistics on flattened (G*P, C) rows:
     object aggregation via the row one-hot, channel-group aggregation via the
-    channel one-hot — all matmuls."""
+    channel one-hot — all matmuls. Statistics accumulate in f32; the
+    (G*P, C) row buffers stay in `cdt`."""
     C = x.shape[1]
     cg = C // num_groups
     M = _group_onehot(C, num_groups)  # (C, G_ch)
-    # per-object channel sums: (G, C)
-    s1 = jnp.dot(obj_oh.T, x, preferred_element_type=jnp.float32)
-    s2 = jnp.dot(obj_oh.T, x * x, preferred_element_type=jnp.float32)
+    oh = obj_oh.astype(cdt)
+    # per-object channel sums: (G, C) — f32 accumulation
+    s1 = jnp.dot(oh.T, x, preferred_element_type=jnp.float32)
+    s2 = jnp.dot(oh.T, x.astype(jnp.float32) * x.astype(jnp.float32) if cdt == jnp.float32
+                 else (x * x), preferred_element_type=jnp.float32)
     g1 = jnp.dot(s1, M, preferred_element_type=jnp.float32)  # (G, G_ch)
     g2 = jnp.dot(s2, M, preferred_element_type=jnp.float32)
     n = P * cg
@@ -91,9 +98,9 @@ def _gn_segmented(x, obj_oh, scale, bias, P, num_groups=32, eps=1e-5):
     inv_g = jax.lax.rsqrt(var_g + eps)
     mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)  # (G, C)
     inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32)
-    mean_rows = jnp.dot(obj_oh, mean_c, preferred_element_type=jnp.float32)
-    inv_rows = jnp.dot(obj_oh, inv_c, preferred_element_type=jnp.float32)
-    return (x - mean_rows) * inv_rows * scale + bias
+    mean_rows = jnp.dot(oh, mean_c.astype(cdt), preferred_element_type=jnp.float32).astype(cdt)
+    inv_rows = jnp.dot(oh, inv_c.astype(cdt), preferred_element_type=jnp.float32).astype(cdt)
+    return ((x - mean_rows) * inv_rows * scale.astype(cdt) + bias.astype(cdt))
 
 
 @partial(jax.jit, static_argnames=("n_pcl", "block_size", "interpret", "compute_dtype"))
