@@ -54,6 +54,7 @@ class CATREConfig:
     refine_scale: bool = True
     dtype: Any = None                     # compute dtype (None = float32)
     fused_heads: bool = False             # Pallas fused rot head (inference)
+    fused_block_size: int = 1             # objects per kernel grid step
 
     @property
     def is_allo(self) -> bool:
@@ -211,10 +212,18 @@ def delta_forward_fused(cfg: CATREConfig, params, x, tfd_kps, init_scale, init_t
     trans_deltas, scale_deltas = ts_head.apply({"params": params["ts_head"]}, ts_feat)
 
     point_feats = jnp.concatenate([pcl_pf, kps_pf], axis=1)
-    rot_deltas6 = fused_conv_per_rot_head(
-        point_feats, g_pcl, g_kps, params["rot_head"], n_pcl=x.shape[1],
-        interpret=interpret,
-    )
+    if cfg.fused_block_size > 1 and B % cfg.fused_block_size == 0:
+        from ..ops.pallas_heads_blocked import fused_conv_per_rot_head_blocked
+
+        rot_deltas6 = fused_conv_per_rot_head_blocked(
+            point_feats, g_pcl, g_kps, params["rot_head"], n_pcl=x.shape[1],
+            block_size=cfg.fused_block_size, interpret=interpret,
+        )
+    else:
+        rot_deltas6 = fused_conv_per_rot_head(
+            point_feats, g_pcl, g_kps, params["rot_head"], n_pcl=x.shape[1],
+            interpret=interpret,
+        )
     return (
         rot_deltas6.astype(jnp.float32),
         trans_deltas.astype(jnp.float32),
