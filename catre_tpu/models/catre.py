@@ -54,7 +54,8 @@ class CATREConfig:
     refine_scale: bool = True
     dtype: Any = None                     # compute dtype (None = float32)
     fused_heads: bool = False             # Pallas fused rot head (inference)
-    fused_block_size: int = 1             # objects per kernel grid step
+    fused_block_size: int = 1             # objects per rot-head grid step
+    fused_encoder: bool = False           # Pallas encoder columns (inference)
 
     @property
     def is_allo(self) -> bool:
@@ -180,21 +181,35 @@ def delta_forward_fused(cfg: CATREConfig, params, x, tfd_kps, init_scale, init_t
 
     B = x.shape[0]
     interpret = jax.devices()[0].platform == "cpu"
-    # encoder stays on the XLA path: its batched (2B*P, C) matmuls already
-    # run near the roofline, and a per-cloud Pallas grid measured SLOWER
-    # (3.7k vs 4.3k obj/s) — kept in ops/pallas_encoder.py for future tuning
-    enc = PointNetFeat(
-        out_dim=cfg.pclnet_out_dim, global_feat=False,
-        feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
-    )
+    # encoder defaults to the XLA path: its batched (2B*P, C) matmuls already
+    # run near the roofline (a naive per-cloud Pallas grid measured SLOWER,
+    # 3.7k vs 4.3k obj/s). cfg.fused_encoder switches to the cloud-blocked
+    # Pallas columns (ops/pallas_encoder.py).
+    if cfg.fused_encoder:
+        from ..ops.pallas_encoder import pointnet_forward_fused
+
+        def encode(xx):
+            return pointnet_forward_fused(
+                params["pcl_net"], xx, feature_transform=cfg.feature_transform,
+                interpret=interpret,
+            )
+    else:
+        enc = PointNetFeat(
+            out_dim=cfg.pclnet_out_dim, global_feat=False,
+            feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
+        )
+
+        def encode(xx):
+            return enc.apply({"params": params["pcl_net"]}, xx)
+
     both = jnp.concatenate([x, tfd_kps], axis=0) if x.shape[1] == tfd_kps.shape[1] else None
     if both is not None:
-        pf, gf = enc.apply({"params": params["pcl_net"]}, both)
+        pf, gf = encode(both)
         pcl_pf, kps_pf = pf[:B], pf[B:]
         g_pcl, g_kps = gf[:B], gf[B:]
     else:
-        pcl_pf, g_pcl = enc.apply({"params": params["pcl_net"]}, x)
-        kps_pf, g_kps = enc.apply({"params": params["pcl_net"]}, tfd_kps)
+        pcl_pf, g_pcl = encode(x)
+        kps_pf, g_kps = encode(tfd_kps)
 
     flat_pcl_feat = jnp.concatenate([g_pcl, jnp.max(pcl_pf, axis=1)], axis=1)
     ts_feat = flat_pcl_feat

@@ -22,28 +22,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(relu_last: bool, cdt, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  w3_ref, b3_ref, out_ref):
+def _chain_kernel(relu_last: bool, cdt, n_clouds: int, x_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
     # matmuls run in the compute dtype (bf16 on TPU -> full MXU rate) with
-    # f32 accumulation; the max-pool output is f32
-    x = x_ref[0].astype(cdt)  # (P, C_in)
-    h = jnp.maximum(jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
-                    + b1_ref[...], 0.0).astype(cdt)
-    h = jnp.maximum(jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-                    + b2_ref[...], 0.0).astype(cdt)
-    h = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32) + b3_ref[...]
-    if relu_last:
-        h = jnp.maximum(h, 0.0)
-    m = jnp.max(h, axis=0, keepdims=True)  # (1, C_out) f32
-    out_ref[0] = jnp.concatenate(
-        [m, jnp.full((7, m.shape[1]), -jnp.inf, jnp.float32)], axis=0
-    )
+    # f32 accumulation; the max-pool output is f32.  n_clouds > 1 processes
+    # several clouds per grid step (static unroll — amortizes per-step grid
+    # overhead); only one cloud's intermediates are live at a time.
+    w1, b1 = w1_ref[...], b1_ref[...]
+    w2, b2 = w2_ref[...], b2_ref[...]
+    w3, b3 = w3_ref[...], b3_ref[...]
+
+    def one(x):
+        h = jnp.maximum(jnp.dot(x, w1, preferred_element_type=jnp.float32)
+                        + b1, 0.0).astype(cdt)
+        h = jnp.maximum(jnp.dot(h, w2, preferred_element_type=jnp.float32)
+                        + b2, 0.0).astype(cdt)
+        h = jnp.dot(h, w3, preferred_element_type=jnp.float32) + b3
+        if relu_last:
+            h = jnp.maximum(h, 0.0)
+        return jnp.max(h, axis=0, keepdims=True)  # (1, C_out) f32
+
+    pads = jnp.full((7, w3.shape[1]), -jnp.inf, jnp.float32)
+    pieces = []
+    for c in range(n_clouds):
+        pieces.append(one(x_ref[c].astype(cdt)))
+        pieces.append(pads)
+    out_ref[0] = jnp.concatenate(pieces, axis=0)  # (n_clouds*8, C_out)
 
 
-@partial(jax.jit, static_argnames=("relu_last", "interpret", "compute_dtype"))
+@partial(jax.jit, static_argnames=("relu_last", "interpret", "compute_dtype",
+                                   "block_clouds"))
 def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
                relu_last: bool = False, interpret: bool = False,
-               compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+               compute_dtype=jnp.bfloat16, block_clouds: int = 8) -> jnp.ndarray:
     """max over points of chain(x): (B, P, C_in) -> (B, C_out) f32.
 
     Weights are flax Dense kernels (in, out); biases 1-D.
@@ -51,6 +62,10 @@ def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
     B, P, _ = x.shape
     c_out = w3.shape[1]
     cdt = jnp.float32 if interpret else compute_dtype
+    C = block_clouds
+    while B % C:
+        C //= 2
+    C = max(C, 1)
 
     def prep_w(w):
         return w.astype(cdt)
@@ -61,16 +76,17 @@ def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
     args = [prep_w(w1), prep_b(b1), prep_w(w2), prep_b(b2), prep_w(w3), prep_b(b3)]
 
     out = pl.pallas_call(
-        partial(_chain_kernel, relu_last, cdt),
-        grid=(B,),
+        partial(_chain_kernel, relu_last, cdt, C),
+        grid=(B // C,),
         in_specs=[
-            pl.BlockSpec((1, P, x.shape[2]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, P, x.shape[2]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
-        out_specs=pl.BlockSpec((1, 8, c_out), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8, c_out), jnp.float32),
+        out_specs=pl.BlockSpec((1, C * 8, c_out), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B // C, C * 8, c_out), jnp.float32),
         interpret=interpret,
     )(x, *args)
-    return out[:, 0, :]
+    return out.reshape(B, 8, c_out)[:, 0, :]
 
 
 def _dense_params(tree: dict):
