@@ -47,8 +47,9 @@ def main():
         refine = make_refine_fn(model, cfg, n_iter=n_iter)
 
         best = 0.0
-        # keep the compile count low: remote compiles are slow in this image
-        batch_sizes = [1024]
+        # keep the compile count low: remote compiles are slow in this image.
+        # b=2048 amortizes the per-call dispatch overhead best (see docs/PERF.md)
+        batch_sizes = [2048]
         for b in batch_sizes:
             R = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
             t = np.tile(np.array([0, 0, 1.0], dtype=np.float32), (b, 1))

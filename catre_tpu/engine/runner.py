@@ -32,12 +32,30 @@ from ..engine.train import TrainState, make_train_step
 from ..eval import CATREEvaluator, run_inference
 from ..geom.symmetry import axis_symmetry_rotation_bank
 from ..models import CATREDisRShared, init_params
+from ..parallel import make_mesh, replicate_tree, shard_batch
 from ..solver import build_optimizer
 from ..solver.schedule import build_lr_fn
 from ..utils import checkpoint as ckpt
 from ..utils.events import EventStorage, JSONWriter, MetricPrinter, TensorboardWriter
 
 logger = logging.getLogger(__name__)
+
+
+def _maybe_mesh(cfg):
+    """Data-parallel mesh when NUM_CHIPS > 1 (or 0 = all available devices).
+    Absent key = single-device (the reference's default of 1 GPU). Returns
+    None for single-device execution."""
+    if "NUM_CHIPS" not in cfg:
+        return None
+    n = int(cfg["NUM_CHIPS"])
+    avail = len(jax.devices())
+    if n == 0:
+        n = avail
+    if n <= 1 or avail < n:
+        return None
+    mesh = make_mesh(n)
+    logger.info("data-parallel mesh over %d devices", n)
+    return mesh
 
 
 def build_model(cfg):
@@ -107,6 +125,14 @@ def do_train(cfg, resume: bool = False) -> None:
     tx = build_optimizer(cfg.SOLVER, lr_mults=lr_mults, frozen=frozen)
     opt_state = tx.init(params)
     state = TrainState(params, opt_state, jnp.zeros([], jnp.int32))
+
+    mesh = _maybe_mesh(cfg)
+    if mesh is not None:
+        state = TrainState(
+            replicate_tree(mesh, state.params),
+            replicate_tree(mesh, state.opt_state),
+            replicate_tree(mesh, state.step),
+        )
 
     # data -------------------------------------------------------------
     train_dicts = _get_train_dicts(cfg, cfg.DATASETS.TRAIN)
@@ -201,12 +227,18 @@ def do_train(cfg, resume: bool = False) -> None:
             batch_np = next(loader2_iter)
         else:
             batch_np = next(loader_iter)
+        max_objs = int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120))
+        if mesh is not None:
+            # even sharding across the mesh: truncate to a device multiple
+            max_objs -= max_objs % mesh.devices.size
         batch = _batch_to_device(
-            batch_np, max_objs=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
+            batch_np, max_objs=max_objs,
             kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
             num_kps=int(cfg.INPUT.get("NUM_KPS", 1024)),
             with_neg_axis=bool(cfg.INPUT.get("WITH_NEG_AXIS", False)),
         )
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
 
         if iter_t0 is not None:
             storage.put_scalar("time", time.perf_counter() - iter_t0)

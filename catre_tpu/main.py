@@ -92,6 +92,7 @@ def main(args=None):
 
     from catre_tpu.engine.runner import do_test, do_train
 
+    cfg["NUM_CHIPS"] = int(args.num_chips)
     if args.eval_only:
         return do_test(cfg)
     return do_train(cfg, resume=args.resume)

@@ -47,6 +47,16 @@ def _small_cfg(tmp_path, fake_real_root):
     return cfg
 
 
+def test_train_multichip_mesh(tmp_path, fake_real_root):  # noqa: F811
+    """NUM_CHIPS=8 trains over the virtual CPU mesh (GSPMD data parallel)."""
+    cfg = _small_cfg(tmp_path, fake_real_root)
+    apply_overrides(cfg, ["SOLVER.TOTAL_EPOCHS=1", "NUM_CHIPS=8",
+                          "DATALOADER.MAX_OBJS_PER_IMAGE=4"])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out_mc")
+    do_train(cfg, resume=False)
+    assert osp.exists(osp.join(cfg.OUTPUT_DIR, "metrics.json"))
+
+
 def test_train_resume_and_eval(tmp_path, fake_real_root):  # noqa: F811
     cfg = _small_cfg(tmp_path, fake_real_root)
     do_train(cfg, resume=False)
