@@ -43,6 +43,7 @@ class LoaderConfig:
     add_noise_depth_prob: float = 0.9
     add_noise_depth_level: float = 0.005
     occlude_mask_test: bool = False
+    with_nocs: bool = False  # sample aligned NOCS coords (nocs-head variants)
     max_objs_per_image: int = 8
     # optional per-frame previous-frame estimates for the last_frame init
     # mode (INPUT.INIT_POSE_TRAIN_PATH): dict scene_im_id -> (n_inst, 3, 5)
@@ -212,12 +213,12 @@ def _make_image_sampler(cfg: LoaderConfig):
     @jax.jit
     def sample(key, depth, K, masks, poses, scales):
         cloud = backproject(depth, K)
-        pcls, n_inside = batch_ball_crop(
+        pcls, idx, n_inside = batch_ball_crop(
             key, cloud, masks, poses, scales,
             ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
             fps_sample=cfg.fps_sample,
         )
-        return pcls, n_inside
+        return pcls, idx, n_inside
 
     return sample
 
@@ -267,13 +268,37 @@ class CATRELoader:
             poses_for_crop, scales_for_crop = data["obj_pose"], data["obj_scale"]
         else:
             poses_for_crop, scales_for_crop = data["obj_pose_est"], data["obj_scale_est"]
-        pcls, n_inside = self._sampler(
+        pcls, idx, n_inside = self._sampler(
             self._next_key(), jnp.asarray(data["depth"]), jnp.asarray(data["K"]),
             jnp.asarray(data["masks"]), jnp.asarray(poses_for_crop),
             jnp.asarray(scales_for_crop),
         )
         data["pcl"] = np.asarray(pcls)
+        data["pcl_idx"] = np.asarray(idx)  # flat pixel index per sampled point
         data["n_inside"] = np.asarray(n_inside)
+        # aligned per-point extras: nocs coords (train variants with a nocs
+        # loss, `data_loader.py:584-611` samples nocs with the same indices)
+        if record.get("coord_file") and self.cfg.with_nocs:
+            import cv2
+
+            from ..tools.pose_data import decode_coord_map
+
+            coord_bgr = cv2.imread(record["coord_file"], cv2.IMREAD_COLOR)
+            if coord_bgr is not None:
+                nocs_map = decode_coord_map(coord_bgr).reshape(-1, 3)
+                nocs = nocs_map[data["pcl_idx"]]
+                # mug NOCS remap s0*(nocs + t0) per instance (`:606-609`)
+                try:
+                    mug_meta = assets.load_mug_meta()
+                except FileNotFoundError:
+                    mug_meta = {}
+                for i, anno in enumerate(record.get("annotations", [])[: self.cfg.max_objs_per_image]):
+                    name = anno.get("inst_name", "")
+                    key = name[: -len("_norm")] if name.endswith("_norm") else name
+                    if key in mug_meta:
+                        t0, s0 = mug_meta[key]
+                        nocs[i] = s0 * (nocs[i] + t0[None, :])
+                data["nocs"] = nocs.astype(np.float32)
         if self._last_frame is not None:
             m = self.cfg.max_objs_per_image
             lf = np.tile(np.eye(3, 5, dtype=np.float32), (m, 1, 1))
@@ -293,6 +318,8 @@ class CATRELoader:
                 "obj_mean_points", "obj_mean_scales"]
         if self._last_frame is not None:
             keys = keys + ["last_frame_poses"]
+        if all("nocs" in im for im in images):
+            keys = keys + ["nocs"]
         batch = {k: np.concatenate([im[k] for im in images], axis=0) for k in keys}
         m = self.cfg.max_objs_per_image
         batch["K"] = np.concatenate(

@@ -96,7 +96,9 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
       fps_sample: FPS instead of random choice among in-ball points
         (the INPUT.FPS_SAMPLE ablation, `crop_ball_from_pts:304-307`)
     Returns:
-      (pcls (I, num_points, 3), n_inside (I,))
+      (pcls (I, num_points, 3), idx (I, num_points) flat pixel indices into
+       the H*W cloud — for gathering aligned per-point data (nocs, rgb) —
+       and n_inside (I,))
     """
     n_inst = masks.shape[0]
     pts = cloud.reshape(-1, 3)
@@ -115,9 +117,9 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
             cand = pts[cand_idx]
             cand_valid = jnp.arange(4 * num_points) < jnp.minimum(n_in, 4 * num_points)
             fps_idx = farthest_point_indices(cand, num_points, valid=cand_valid)
-            return cand[fps_idx], n_in
-        sampled, _, n_in = crop_ball_from_cloud(k, pts, valid, pose, scale, ratio, num_points)
-        return sampled, n_in
+            return cand[fps_idx], cand_idx[fps_idx], n_in
+        sampled, idx, n_in = crop_ball_from_cloud(k, pts, valid, pose, scale, ratio, num_points)
+        return sampled, idx, n_in
 
     return jax.vmap(one)(keys, masks, poses, scales)
 

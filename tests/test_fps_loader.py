@@ -29,7 +29,7 @@ def test_batch_ball_crop_fps_mode():
     poses = np.tile(np.concatenate([np.eye(3), [[0], [0], [1.0]]], axis=1), (1, 1, 1)).astype(np.float32)
     scales = np.full((1, 3), 0.3, dtype=np.float32)
 
-    pcls, n_inside = batch_ball_crop(
+    pcls, idx, n_inside = batch_ball_crop(
         jax.random.PRNGKey(0), cloud, jnp.asarray(masks), jnp.asarray(poses),
         jnp.asarray(scales), ratio=0.6, num_points=64, fps_sample=True,
     )
@@ -37,7 +37,7 @@ def test_batch_ball_crop_fps_mode():
     assert p.shape == (64, 3)
     np.testing.assert_allclose(p[:, 2], 1.0, atol=1e-6)
     # FPS spreads: mean nearest-neighbor distance larger than random sampling
-    pr, _ = batch_ball_crop(
+    pr, _, _ = batch_ball_crop(
         jax.random.PRNGKey(0), cloud, jnp.asarray(masks), jnp.asarray(poses),
         jnp.asarray(scales), ratio=0.6, num_points=64, fps_sample=False,
     )

@@ -89,7 +89,7 @@ def test_batch_ball_crop_from_depth():
     poses = np.tile(np.concatenate([np.eye(3), [[0], [0], [1.0]]], axis=1), (2, 1, 1)).astype(np.float32)
     scales = np.full((2, 3), 0.3, dtype=np.float32)
 
-    pcls, n_inside = batch_ball_crop(
+    pcls, idx, n_inside = batch_ball_crop(
         jax.random.PRNGKey(4), cloud, jnp.asarray(masks), jnp.asarray(poses),
         jnp.asarray(scales), ratio=0.6, num_points=256,
     )
