@@ -234,13 +234,15 @@ class CATRELoader:
     """
 
     def __init__(self, dataset_dicts: list, cfg: LoaderConfig, phase: str = "train",
-                 ims_per_batch: int = 16, seed: int = 0, max_objs_train: int = 128):
+                 ims_per_batch: int = 16, seed: int = 0, max_objs_train: int = 128,
+                 num_workers: int = 0):
         assert phase in ("train", "test")
         self.dicts = dataset_dicts
         self.cfg = cfg
         self.phase = phase
         self.ims_per_batch = ims_per_batch
         self.max_objs_train = max_objs_train
+        self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self._sampler = _make_image_sampler(cfg)
@@ -257,12 +259,45 @@ class CATRELoader:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def _process_image(self, record: dict) -> dict | None:
-        data = _gather_image_record(
-            record, self.cfg, self.phase, self.rng, self._mean_points, self._mean_scales
+    def _host_part(self, record: dict, seed: int) -> dict | None:
+        """Thread-safe host stage: decode + gt assembly (own RNG per call)."""
+        return _gather_image_record(
+            record, self.cfg, self.phase, np.random.default_rng(seed),
+            self._mean_points, self._mean_scales,
         )
-        if data is None:
-            return None
+
+    def _host_stream(self, records):
+        """Host-stage stream, threaded when num_workers > 0 (cv2/pickle
+        release the GIL — the reference uses torch DataLoader worker
+        processes, `DATALOADER.NUM_WORKERS`)."""
+        if self.num_workers <= 0:
+            for rec in records:
+                yield rec, self._host_part(rec, int(self.rng.integers(2 ** 31)))
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            queue = collections.deque()
+            records = iter(records)
+            try:
+                for _ in range(2 * self.num_workers):
+                    rec = next(records)
+                    queue.append((rec, pool.submit(
+                        self._host_part, rec, int(self.rng.integers(2 ** 31)))))
+            except StopIteration:
+                records = iter(())
+            while queue:
+                rec, fut = queue.popleft()
+                try:
+                    nxt = next(records)
+                    queue.append((nxt, pool.submit(
+                        self._host_part, nxt, int(self.rng.integers(2 ** 31)))))
+                except StopIteration:
+                    pass
+                yield rec, fut.result()
+
+    def _device_part(self, record: dict, data: dict) -> dict:
         # ball center/radius: gt pose at train, estimate at test
         if self.phase == "train":
             poses_for_crop, scales_for_crop = data["obj_pose"], data["obj_scale"]
@@ -332,31 +367,39 @@ class CATRELoader:
         batch["scene_im_ids"] = [im["scene_im_id"] for im in images]
         return batch
 
+    def _process_image(self, record: dict) -> dict | None:
+        """Single-threaded convenience: host + device stages."""
+        data = self._host_part(record, int(self.rng.integers(2 ** 31)))
+        if data is None:
+            return None
+        return self._device_part(record, data)
+
+    def _train_records(self):
+        while True:
+            for idx in self.rng.permutation(len(self.dicts)):
+                yield self.dicts[idx]
+
     def __iter__(self):
         if self.phase == "train":
-            while True:
-                order = self.rng.permutation(len(self.dicts))
-                images = []
-                for idx in order:
-                    data = self._process_image(self.dicts[idx])
-                    if data is None:
-                        continue
-                    images.append(data)
-                    if len(images) == self.ims_per_batch:
-                        yield self._flatten(images)
-                        images = []
+            images = []
+            for record, data in self._host_stream(self._train_records()):
+                if data is None:
+                    continue
+                images.append(self._device_part(record, data))
+                if len(images) == self.ims_per_batch:
+                    yield self._flatten(images)
+                    images = []
         else:
             # test: fixed-size groups of images flattened into one padded
             # object batch (ims_per_batch=1 reproduces the reference's
             # one-image-per-step evaluation; larger values batch the jit)
             group = []
-            for record in self.dicts:
-                data = self._process_image(record)
+            for record, data in self._host_stream(iter(self.dicts)):
                 if data is None:
                     yield {"scene_im_ids": [record["scene_im_id"]], "empty": True,
                            "record": record}
                     continue
-                group.append(data)
+                group.append(self._device_part(record, data))
                 if len(group) == self.ims_per_batch:
                     yield self._flatten(group)
                     group = []

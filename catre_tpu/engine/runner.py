@@ -146,6 +146,7 @@ def do_train(cfg, resume: bool = False) -> None:
         ims_per_batch=int(cfg.SOLVER.IMS_PER_BATCH),
         seed=max(cfg.get("SEED", 0), 0),
         max_objs_train=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
+        num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
     )
     loader_iter = iter(loader)
 
