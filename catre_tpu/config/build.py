@@ -102,6 +102,7 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         fps_sample=bool(inp.get("FPS_SAMPLE", False)),
         aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
         occlude_mask_test=bool(inp.get("OCCLUDE_MASK_TEST", False)),
+        pcl_with_color=bool(inp.get("PCL_WITH_COLOR", False)),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
         init_pose_train_path=(
             inp.get("INIT_POSE_TRAIN_PATH", "")

@@ -44,6 +44,7 @@ class LoaderConfig:
     add_noise_depth_level: float = 0.005
     occlude_mask_test: bool = False
     with_nocs: bool = False  # sample aligned NOCS coords (nocs-head variants)
+    pcl_with_color: bool = False  # sample aligned RGB (INPUT.PCL_WITH_COLOR)
     max_objs_per_image: int = 8
     # optional per-frame previous-frame estimates for the last_frame init
     # mode (INPUT.INIT_POSE_TRAIN_PATH): dict scene_im_id -> (n_inst, 3, 5)
@@ -334,6 +335,15 @@ class CATRELoader:
                         t0, s0 = mug_meta[key]
                         nocs[i] = s0 * (nocs[i] + t0[None, :])
                 data["nocs"] = nocs.astype(np.float32)
+        if self.cfg.pcl_with_color:
+            # aligned RGB in [0,1] per sampled point (INPUT.PCL_WITH_COLOR;
+            # the reference's crop_ball_from_depth_image returns rgb too)
+            import cv2
+
+            bgr = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
+            if bgr is not None:
+                rgb_map = bgr[:, :, ::-1].reshape(-1, 3).astype(np.float32) / 255.0
+                data["pcl_rgb"] = rgb_map[data["pcl_idx"]]
         if self._last_frame is not None:
             m = self.cfg.max_objs_per_image
             lf = np.tile(np.eye(3, 5, dtype=np.float32), (m, 1, 1))
@@ -355,6 +365,8 @@ class CATRELoader:
             keys = keys + ["last_frame_poses"]
         if all("nocs" in im for im in images):
             keys = keys + ["nocs"]
+        if all("pcl_rgb" in im for im in images):
+            keys = keys + ["pcl_rgb"]
         batch = {k: np.concatenate([im[k] for im in images], axis=0) for k in keys}
         m = self.cfg.max_objs_per_image
         batch["K"] = np.concatenate(

@@ -43,3 +43,18 @@ def test_workers_train_infinite(fake_real_root):  # noqa: F811
     b2 = next(it)
     assert b1["pcl"].shape == (4, 32, 3)
     assert b2["pcl"].shape == (4, 32, 3)
+
+def test_pcl_with_color(fake_real_root):  # noqa: F811
+    ds = NOCSDataset("nocs_test_real", image_root=fake_real_root, use_cache=False)
+    dicts = ds()
+    for rec in dicts:
+        for anno in rec["annotations"]:
+            anno["pose_est"] = anno["pose"]
+            anno["scale_est"] = anno["scale"]
+    cfg = LoaderConfig(num_pcl=32, max_objs_per_image=2, aug_depth=False,
+                       pcl_with_color=True)
+    loader = CATRELoader(dicts, cfg, phase="test", ims_per_batch=1)
+    batch = next(iter(loader))
+    assert "pcl_rgb" in batch
+    assert batch["pcl_rgb"].shape == (2, 32, 3)
+    assert (batch["pcl_rgb"] >= 0).all() and (batch["pcl_rgb"] <= 1).all()
