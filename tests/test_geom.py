@@ -237,3 +237,19 @@ class TestErrors:
         )
         assert err_sym.max() < 0.1
         assert err_full.min() > 10.0
+
+
+class TestAxangleChain:
+    def test_chain_matches_sequential(self):
+        chain = [(1, 0, 0, 0.5), (0, 0, 1, -0.7)]
+        out = np.asarray(geom.rot_from_axangle_chain(chain))
+        a = np.asarray(geom.axangle_to_mat(jnp.asarray([[1.0, 0, 0]]), jnp.asarray([0.5 * np.pi])))[0]
+        b = np.asarray(geom.axangle_to_mat(jnp.asarray([[0.0, 0, 1]]), jnp.asarray([-0.7 * np.pi])))[0]
+        np.testing.assert_allclose(out, a @ b, atol=1e-6)
+
+    def test_pose_3x4_to_4x4(self):
+        pose = RNG.normal(size=(3, 3, 4)).astype(np.float32)
+        out = np.asarray(geom.pose_3x4_to_4x4(jnp.asarray(pose)))
+        assert out.shape == (3, 4, 4)
+        np.testing.assert_allclose(out[:, :3, :], pose)
+        np.testing.assert_allclose(out[:, 3, :], np.tile([0, 0, 0, 1], (3, 1)))
