@@ -1,9 +1,12 @@
 """Parity tests: optax Ranger vs the reference torch Ranger; flat_and_anneal
-schedule vs the reference closure."""
+schedule vs the reference closure. Skipped when the reference checkout is
+not mounted."""
 
+import os.path as osp
 import sys
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -11,7 +14,10 @@ import jax.numpy as jnp
 
 from catre_tpu.solver import flat_and_anneal_factor, ranger
 
-sys.path.insert(0, "/root/reference")  # import reference optimizer for golden values only
+# reference optimizer/scheduler imported for golden values only
+if not osp.isdir("/root/reference/lib"):
+    pytest.skip("reference checkout unavailable", allow_module_level=True)
+sys.path.insert(0, "/root/reference")
 
 
 def _torch_mlp(seed=0):
