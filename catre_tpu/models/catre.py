@@ -54,6 +54,7 @@ class CATREConfig:
     refine_scale: bool = True
     dtype: Any = None                     # compute dtype (None = float32)
     fused_heads: bool = False             # Pallas fused rot head (inference)
+    fused_heads_train: bool = False       # custom-VJP fused rot head (training)
     fused_block_size: int = 1             # objects per rot-head grid step
     fused_encoder: bool = False           # Pallas encoder columns (inference)
 
@@ -246,6 +247,58 @@ def delta_forward_fused(cfg: CATREConfig, params, x, tfd_kps, init_scale, init_t
     )
 
 
+def delta_forward_fused_train(cfg: CATREConfig, params, x, tfd_kps, init_scale,
+                              init_trans):
+    """Training-path delta prediction: flax encoder/TS head (autodiff) with
+    the custom-VJP fused rot head (ops/pallas_heads_vjp.py — Pallas forward
+    and backward, gradients validated against autodiff)."""
+    import jax
+
+    from ..ops.pallas_heads_vjp import fused_rot_head_train
+    from .heads import FCTransSizeHead
+    from .pointnet import PointNetFeat
+
+    B = x.shape[0]
+    interpret = jax.devices()[0].platform == "cpu"
+    enc = PointNetFeat(
+        out_dim=cfg.pclnet_out_dim, global_feat=False,
+        feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
+    )
+    both = jnp.concatenate([x, tfd_kps], axis=0) if x.shape[1] == tfd_kps.shape[1] else None
+    if both is not None:
+        pf, gf = enc.apply({"params": params["pcl_net"]}, both)
+        pcl_pf, kps_pf = pf[:B], pf[B:]
+        g_pcl, g_kps = gf[:B], gf[B:]
+    else:
+        pcl_pf, g_pcl = enc.apply({"params": params["pcl_net"]}, x)
+        kps_pf, g_kps = enc.apply({"params": params["pcl_net"]}, tfd_kps)
+
+    flat_pcl_feat = jnp.concatenate([g_pcl, jnp.max(pcl_pf, axis=1)], axis=1)
+    ts_feat = flat_pcl_feat
+    if cfg.ts_with_kps_feature:
+        flat_kps_feat = jnp.concatenate([g_kps, jnp.max(kps_pf, axis=1)], axis=1)
+        ts_feat = jnp.concatenate([flat_pcl_feat, flat_kps_feat], axis=1)
+    if cfg.ts_with_init_scale:
+        ts_feat = jnp.concatenate([ts_feat, init_scale.astype(ts_feat.dtype)], axis=1)
+    if cfg.ts_with_init_trans:
+        ts_feat = jnp.concatenate([ts_feat, init_trans.astype(ts_feat.dtype)], axis=1)
+    ts_head = FCTransSizeHead(
+        feat_dim=cfg.ts_feat_dim, num_layers=cfg.ts_num_layers,
+        num_gn_groups=cfg.ts_num_gn_groups, dtype=cfg.dtype,
+    )
+    trans_deltas, scale_deltas = ts_head.apply({"params": params["ts_head"]}, ts_feat)
+
+    point_feats = jnp.concatenate([pcl_pf, kps_pf], axis=1)
+    rot_deltas6 = fused_rot_head_train(
+        point_feats, g_pcl, g_kps, params["rot_head"], x.shape[1], interpret
+    )
+    return (
+        rot_deltas6.astype(jnp.float32),
+        trans_deltas.astype(jnp.float32),
+        scale_deltas.astype(jnp.float32),
+    )
+
+
 def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
                    pcl, obj_kps, pose_est, scale_est, K, mean_scales=None):
     """One full refine iteration: inputs -> deltas -> composed pose/scale.
@@ -257,7 +310,11 @@ def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
     if cfg.dtype is not None:
         x = x.astype(cfg.dtype)
         tfd_kps = tfd_kps.astype(cfg.dtype)
-    if cfg.fused_heads:
+    if cfg.fused_heads_train:
+        rot_deltas6, trans_deltas, scale_deltas = delta_forward_fused_train(
+            cfg, params, x, tfd_kps, scale_est, pose_est[:, :3, 3]
+        )
+    elif cfg.fused_heads:
         rot_deltas6, trans_deltas, scale_deltas = delta_forward_fused(
             cfg, params, x, tfd_kps, scale_est, pose_est[:, :3, 3]
         )
