@@ -141,7 +141,7 @@ def _bwd_kernel(C, n_pcl_ref, pf_ref, gx_ref, gy_ref, dout_ref, *refs):
     row = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     is_pcl = row < n_pcl
     M = _group_onehot(C, 32)
-    d_out = dout_ref[...].astype(jnp.float32)  # (1, 6)
+    d_out = dout_ref[0].astype(jnp.float32)  # block (1, 1, 6) -> (1, 6)
 
     def run(g_ref, params, d_o):
         gt = g_ref[0].astype(jnp.float32)  # (2, C)
@@ -196,7 +196,8 @@ def _run_bwd(point_feats, gx, gy, d_out6, px, py, n_pcl, interpret):
             pl.BlockSpec((1, P, cin), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, C), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, C), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6), lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            # (B, 1, 6) so the block equals the trailing array dims
+            pl.BlockSpec((1, 1, 6), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         ] + param_specs,
         out_specs=tuple(out_specs),
     )
@@ -207,7 +208,7 @@ def _run_bwd(point_feats, gx, gy, d_out6, px, py, n_pcl, interpret):
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(n_pcl_arr, point_feats, gx, gy, d_out6, *px[1:], *py[1:])
+    )(n_pcl_arr, point_feats, gx, gy, d_out6.reshape(-1, 1, 6), *px[1:], *py[1:])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
