@@ -67,19 +67,23 @@ def _gn_stats(x, M, n):
 
 
 def _gn_bwd_from_stats(d_out, x, mean_c, inv_c, scale, M, n, cdt):
-    """GN backward recomputing y from (x, stats). Returns
-    (d_x (P,C) cdt, d_scale (1,C), d_bias (1,C))."""
-    y = (x.astype(jnp.float32) - mean_c) * inv_c
-    d_scale = jnp.sum(d_out * y, axis=0, keepdims=True)
-    d_bias = jnp.sum(d_out, axis=0, keepdims=True)
-    dy = d_out * scale
-    m1 = jnp.dot(jnp.dot(jnp.sum(dy, axis=0, keepdims=True), M,
+    """GN backward recomputing y from (x, stats). All (P, C) tensors live in
+    `cdt` (bf16 on TPU) to stay inside the VMEM stack budget; the per-group
+    reductions accumulate in f32. Returns (d_x (P,C) cdt, d_scale, d_bias)."""
+    y = ((x.astype(jnp.float32) - mean_c) * inv_c).astype(cdt)
+    d_scale = jnp.sum(d_out.astype(jnp.float32) * y.astype(jnp.float32),
+                      axis=0, keepdims=True)
+    d_bias = jnp.sum(d_out.astype(jnp.float32), axis=0, keepdims=True)
+    dy = (d_out.astype(jnp.float32) * scale).astype(cdt)
+    m1 = jnp.dot(jnp.dot(jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True), M,
                          preferred_element_type=jnp.float32) / n, M.T,
                  preferred_element_type=jnp.float32)
-    m2 = jnp.dot(jnp.dot(jnp.sum(dy * y, axis=0, keepdims=True), M,
+    m2 = jnp.dot(jnp.dot(jnp.sum(dy.astype(jnp.float32) * y.astype(jnp.float32),
+                                 axis=0, keepdims=True), M,
                          preferred_element_type=jnp.float32) / n, M.T,
                  preferred_element_type=jnp.float32)
-    d_x = (inv_c * (dy - m1 - y * m2)).astype(cdt)
+    d_x = ((dy.astype(jnp.float32) - m1 - y.astype(jnp.float32) * m2)
+           * inv_c).astype(cdt)
     return d_x, d_scale, d_bias
 
 
