@@ -44,6 +44,8 @@ def model_config_from(cfg) -> CATREConfig:
         zero_center_input=bool(cfg.INPUT.get("ZERO_CENTER_INPUT", False)),
         refine_scale=bool(cfg.MODEL.get("REFINE_SCLAE", True)),
         dtype=jnp.bfloat16 if cfg.MODEL.get("BF16", False) else None,
+        fused_heads=bool(cfg.MODEL.get("FUSED_HEADS", False)),
+        fused_heads_train=bool(cfg.MODEL.get("FUSED_HEADS_TRAIN", False)),
     )
 
 

@@ -201,6 +201,9 @@ def _run_bwd_one_head(point_feats, gterm, d_out3, p, n_pcl, interpret):
         partial(_bwd_kernel, C, cdt),
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
+        # the recompute backward needs ~21MB of stack; v5e VMEM is 128MB —
+        # raise the scoped limit above the 16MB default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(n_pcl_arr, point_feats, gterm, d_out3.reshape(-1, 1, 3), *p[1:])
 
