@@ -22,30 +22,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(relu_last: bool, cdt, n_clouds: int, x_ref, w1_ref, b1_ref,
-                  w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
+def _chain_kernel(relu_last: bool, cdt, n_clouds: int, P: int, x_ref, w1_ref,
+                  b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref):
     # matmuls run in the compute dtype (bf16 on TPU -> full MXU rate) with
-    # f32 accumulation; the max-pool output is f32.  n_clouds > 1 processes
-    # several clouds per grid step (static unroll — amortizes per-step grid
-    # overhead); only one cloud's intermediates are live at a time.
+    # f32 accumulation; the max-pool output is f32.  n_clouds > 1 flattens
+    # the clouds into ONE (n_clouds*P, C) matmul chain (good MXU fill,
+    # amortized grid overhead) — needs the raised scoped-VMEM limit.
     w1, b1 = w1_ref[...], b1_ref[...]
     w2, b2 = w2_ref[...], b2_ref[...]
     w3, b3 = w3_ref[...], b3_ref[...]
 
-    def one(x):
-        h = jnp.maximum(jnp.dot(x, w1, preferred_element_type=jnp.float32)
-                        + b1, 0.0).astype(cdt)
-        h = jnp.maximum(jnp.dot(h, w2, preferred_element_type=jnp.float32)
-                        + b2, 0.0).astype(cdt)
-        h = jnp.dot(h, w3, preferred_element_type=jnp.float32) + b3
-        if relu_last:
-            h = jnp.maximum(h, 0.0)
-        return jnp.max(h, axis=0, keepdims=True)  # (1, C_out) f32
+    x = x_ref[...].reshape(n_clouds * P, x_ref.shape[2]).astype(cdt)
+    h = jnp.maximum(jnp.dot(x, w1, preferred_element_type=jnp.float32)
+                    + b1, 0.0).astype(cdt)
+    h = jnp.maximum(jnp.dot(h, w2, preferred_element_type=jnp.float32)
+                    + b2, 0.0).astype(cdt)
+    h = jnp.dot(h, w3, preferred_element_type=jnp.float32) + b3
+    if relu_last:
+        h = jnp.maximum(h, 0.0)
 
     pads = jnp.full((7, w3.shape[1]), -jnp.inf, jnp.float32)
     pieces = []
     for c in range(n_clouds):
-        pieces.append(one(x_ref[c].astype(cdt)))
+        m = jnp.max(h[c * P : (c + 1) * P], axis=0, keepdims=True)  # (1, C_out)
+        pieces.append(m)
         pieces.append(pads)
     out_ref[0] = jnp.concatenate(pieces, axis=0)  # (n_clouds*8, C_out)
 
@@ -76,7 +76,7 @@ def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
     args = [prep_w(w1), prep_b(b1), prep_w(w2), prep_b(b2), prep_w(w3), prep_b(b3)]
 
     out = pl.pallas_call(
-        partial(_chain_kernel, relu_last, cdt, C),
+        partial(_chain_kernel, relu_last, cdt, C, P),
         grid=(B // C,),
         in_specs=[
             pl.BlockSpec((C, P, x.shape[2]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -84,6 +84,7 @@ def chain3_max(x: jnp.ndarray, w1, b1, w2, b2, w3, b3,
         out_specs=pl.BlockSpec((1, C * 8, c_out), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B // C, C * 8, c_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, *args)
     return out.reshape(B, 8, c_out)[:, 0, :]
