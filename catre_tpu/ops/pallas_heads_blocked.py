@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_heads import _gelu_exact, _group_onehot, _head_param_list
+from .pallas_heads import _gelu_exact, _group_norm_rows, _group_onehot, _head_param_list
 
 
 def _blocked_kernel(cdt, G, P, n_pcl, *refs):
@@ -33,34 +33,39 @@ def _blocked_kernel(cdt, G, P, n_pcl, *refs):
     # change — supported by Mosaic, unlike lane-splitting casts)
     pf = pf_ref[...].reshape(G * P, pf_ref.shape[2])
 
-    # row -> object one-hot (G*P, G) and pcl/kps row mask (G*P, 1)
+    # pcl/kps row mask (G*P, 1)
     r = jax.lax.broadcasted_iota(jnp.int32, (G * P, 1), 0)
-    obj_oh = (jax.lax.broadcasted_iota(jnp.int32, (G * P, G), 0) // P
-              == jax.lax.broadcasted_iota(jnp.int32, (G * P, G), 1)).astype(jnp.float32)
     is_pcl = (r % P) < n_pcl  # (G*P, 1)
 
     def run(gterm_ref, params):
         (w_pt, b0, gn0_s, gn0_b, w1, b1, gn1_s, gn1_b,
          neck_w, neck_b, pw, pb) = [p[...] for p in params]
-        # per-object global terms routed to rows: (G*P, G) @ (G, 256).
-        # Large (G*P, C) intermediates are kept in the compute dtype (bf16 on
-        # TPU) — f32 buffers at G>=2 blow the VMEM stack (47MB at G=4).
-        gt = gterm_ref[...]  # (G, 2, 256)
-        g_pcl_rows = jnp.dot(obj_oh.astype(cdt), gt[:, 0, :].astype(cdt),
-                             preferred_element_type=jnp.float32)
-        g_kps_rows = jnp.dot(obj_oh.astype(cdt), gt[:, 1, :].astype(cdt),
-                             preferred_element_type=jnp.float32)
-        g_sel = jnp.where(is_pcl, g_pcl_rows, g_kps_rows)
+        gt = gterm_ref[...]  # (G, 2, C)
 
+        # big flattened matmuls (MXU fill); per-object work via STATIC slices
+        # (cheap VPU reductions — no segment matmuls, which measured slower)
         x = jnp.dot(pf.astype(cdt), w_pt.astype(cdt),
-                    preferred_element_type=jnp.float32) + g_sel + b0
-        x = _gelu_exact(_gn_segmented(x.astype(cdt), obj_oh, gn0_s, gn0_b, P, cdt)).astype(cdt)
+                    preferred_element_type=jnp.float32)
+        # per-object global-term add (rows within an object share the term)
+        gpcl = jnp.concatenate(
+            [jnp.broadcast_to(gt[c, 0][None, :], (P, gt.shape[2])) for c in range(G)], axis=0)
+        gkps = jnp.concatenate(
+            [jnp.broadcast_to(gt[c, 1][None, :], (P, gt.shape[2])) for c in range(G)], axis=0)
+        x = x + jnp.where(is_pcl, gpcl, gkps) + b0
+
+        def gn_per_obj(x, scale, bias):
+            pieces = []
+            for c in range(G):
+                pieces.append(_group_norm_rows(x[c * P:(c + 1) * P], scale, bias))
+            return jnp.concatenate(pieces, axis=0)
+
+        x = _gelu_exact(gn_per_obj(x, gn0_s, gn0_b)).astype(cdt)
         x = jnp.dot(x, w1.astype(cdt), preferred_element_type=jnp.float32) + b1
-        x = _gelu_exact(_gn_segmented(x.astype(cdt), obj_oh, gn1_s, gn1_b, P, cdt)).astype(cdt)
-        # conv_p per object: rows weighted by pw (same (P,) for every object)
-        pw_rows = jnp.concatenate([pw.T for _ in range(G)], axis=0)  # (G*P, 1)
-        v = jnp.dot((obj_oh * pw_rows).T.astype(cdt), x,
-                    preferred_element_type=jnp.float32)  # (G, 256)
+        x = _gelu_exact(gn_per_obj(x, gn1_s, gn1_b)).astype(cdt)
+        # conv_p per object: static-slice point reductions
+        vs = [jnp.dot(pw.astype(cdt), x[c * P:(c + 1) * P],
+                      preferred_element_type=jnp.float32) for c in range(G)]
+        v = jnp.concatenate(vs, axis=0)  # (G, C)
         return v @ neck_w + jnp.sum(pw) * neck_b + pb  # (G, 3)
 
     rx = run(gx_ref, px)  # (G, 3)
@@ -144,6 +149,7 @@ def fused_conv_per_rot_head_blocked(point_feats: jnp.ndarray, g_pcl: jnp.ndarray
         ] + param_specs,
         out_specs=pl.BlockSpec((1, G * 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B // G, G * 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(point_feats, gx, gy, *px[1:], *py[1:])
     return out.reshape(B, 8, 128)[:, 0, :6]
