@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import optax
 
+from . import extra
 from .ranger import ranger
 
 
@@ -44,6 +45,56 @@ def _base_optimizer(opt_cfg: dict) -> tuple:
     elif typ == "radam":
         def make(lr_):
             return optax.radam(lr_)
+    elif typ == "adabelief":
+        def make(lr_):
+            return optax.adabelief(lr_, eps=float(opt_cfg.get("eps", 1e-16)))
+    elif typ in ("nadam", "nadamw"):
+        def make(lr_):
+            f = optax.nadamw if typ == "nadamw" else optax.nadam
+            return f(lr_, weight_decay=wd) if typ == "nadamw" else f(lr_)
+    elif typ in ("rmsprop", "rmsprop_tf"):
+        # optax's default eps_in_sqrt=True IS the tf/caffe2 variant the
+        # reference ships as rmsprop_tf (lib/torch_utils/solver/rmsprop_tf.py)
+        def make(lr_):
+            return optax.rmsprop(lr_, momentum=float(opt_cfg.get("momentum", 0.0)) or None)
+    elif typ == "lamb":
+        def make(lr_):
+            return optax.lamb(lr_, weight_decay=wd)
+    elif typ == "lars":
+        def make(lr_):
+            return optax.lars(lr_, weight_decay=wd)
+    elif typ == "ralamb":
+        def make(lr_):
+            return extra.ralamb(lr_, weight_decay=wd)
+    elif typ in ("over9000", "rangerlars"):
+        def make(lr_):
+            return extra.over9000(
+                lr_, k=int(opt_cfg.get("k", 6)),
+                alpha=float(opt_cfg.get("alpha", 0.5)), weight_decay=wd)
+    elif typ == "madgrad":
+        def make(lr_):
+            return extra.madgrad(lr_, momentum=float(opt_cfg.get("momentum", 0.9)),
+                                 weight_decay=wd)
+    elif typ == "adamp":
+        def make(lr_):
+            return extra.adamp(lr_, weight_decay=wd)
+    elif typ == "sgdp":
+        def make(lr_):
+            return extra.sgdp(lr_, momentum=float(opt_cfg.get("momentum", 0.9)),
+                              weight_decay=wd)
+    elif typ in ("sgd_gc", "sgd_gcc"):
+        def make(lr_):
+            return extra.sgd_gc(lr_, momentum=float(opt_cfg.get("momentum", 0.9)),
+                                weight_decay=wd)
+    elif typ == "lookahead":
+        inner_cfg = dict(opt_cfg.get("inner", {"type": "adam", "lr": lr}))
+        inner_cfg.setdefault("lr", lr)
+        inner_make, _ = _base_optimizer(inner_cfg)
+
+        def make(lr_):
+            return extra.lookahead_wrap(
+                inner_make(lr_), k=int(opt_cfg.get("k", 6)),
+                alpha=float(opt_cfg.get("alpha", 0.5)))
     else:
         raise NotImplementedError(f"optimizer type {opt_cfg.get('type')}")
     return make, lr
