@@ -105,6 +105,9 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
         occlude_mask_test=bool(inp.get("OCCLUDE_MASK_TEST", False)),
         pcl_with_color=bool(inp.get("PCL_WITH_COLOR", False)),
+        color_aug_prob=float(inp.get("COLOR_AUG_PROB", 0.0)) if phase == "train" else 0.0,
+        change_bg_prob=float(inp.get("CHANGE_BG_PROB", 0.0)) if phase == "train" else 0.0,
+        bg_image_dir=str(inp.get("BG_IMGS_ROOT", "")),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
         init_pose_train_path=(
             inp.get("INIT_POSE_TRAIN_PATH", "")

@@ -45,6 +45,9 @@ class LoaderConfig:
     occlude_mask_test: bool = False
     with_nocs: bool = False  # sample aligned NOCS coords (nocs-head variants)
     pcl_with_color: bool = False  # sample aligned RGB (INPUT.PCL_WITH_COLOR)
+    color_aug_prob: float = 0.0   # INPUT.COLOR_AUG_PROB (train, RGB path)
+    change_bg_prob: float = 0.0   # INPUT.CHANGE_BG_PROB (train, RGB path)
+    bg_image_dir: str = ""        # background still-image pool
     max_objs_per_image: int = 8
     # optional per-frame previous-frame estimates for the last_frame init
     # mode (INPUT.INIT_POSE_TRAIN_PATH): dict scene_im_id -> (n_inst, 3, 5)
@@ -342,7 +345,21 @@ class CATRELoader:
 
             bgr = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
             if bgr is not None:
-                rgb_map = bgr[:, :, ::-1].reshape(-1, 3).astype(np.float32) / 255.0
+                rgb = bgr[:, :, ::-1]
+                if self.phase == "train":
+                    # image-space color/bg aug (base_data_loader.py:233-553;
+                    # off in shipped configs, same gating here)
+                    from .aug_color import color_augment, replace_background
+
+                    rng = self.rng
+                    if (self.cfg.change_bg_prob > 0 and self.cfg.bg_image_dir
+                            and rng.random() < self.cfg.change_bg_prob):
+                        fg = np.asarray(data["masks"]).any(axis=0)
+                        rgb = replace_background(rng, rgb, fg, self.cfg.bg_image_dir)
+                    if (self.cfg.color_aug_prob > 0
+                            and rng.random() < self.cfg.color_aug_prob):
+                        rgb = color_augment(rng, np.ascontiguousarray(rgb))
+                rgb_map = rgb.reshape(-1, 3).astype(np.float32) / 255.0
                 data["pcl_rgb"] = rgb_map[data["pcl_idx"]]
         if self._last_frame is not None:
             m = self.cfg.max_objs_per_image
