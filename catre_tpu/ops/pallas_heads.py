@@ -31,8 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _erf_approx(x):
     """Abramowitz-Stegun 7.1.26 rational erf (abs err ~1.5e-7): Pallas TPU
-    has no erf lowering; this keeps the kernel within bf16 noise of the
-    exact-GELU flax path."""
+    has no erf lowering.  Kept for reference/off-path use; the kernels use
+    the pure-FMA `_norm_cdf` below — the exp+divide here measured 30 ms/iter
+    of VPU time at B=2048 (docs/PERF.md GELU A/B)."""
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
     sign = jnp.sign(x)
@@ -42,8 +43,54 @@ def _erf_approx(x):
     return sign * y
 
 
+# Gaussian CDF as Phi(x) = 0.5 + x*q(x^2): degree-16 Chebyshev-fit polynomial
+# for q in s = x^2/18 - 1 on |x| <= 6, clamped (Phi saturates to 0/1 outside).
+# Pure multiply-add — no exp, no divide — so it runs at VPU FMA rate instead
+# of the multi-instruction transcendental sequences.  Max |gelu - exact| in
+# f32 Horner: 1.6e-6 on [-6,6], 4.8e-6 on [-30,30] (tail is x*(1-Phi(6))).
+_CDF_Q_COEF = (
+    1.1784852929e-01, -5.8899585784e-02, 4.4063595249e-02, -3.6390634035e-02,
+    3.1100269301e-02, -2.6593793829e-02, 2.2316073815e-02, -1.8472385585e-02,
+    1.4521766402e-02, -9.5395226619e-03, 6.3201897009e-03, -6.4770566575e-03,
+    4.4280175751e-03, -4.7480832299e-05, -2.1535286210e-04, -1.3840008166e-03,
+    7.5472700351e-04,
+)
+
+
+def _norm_cdf(x):
+    """Phi(x) to ~2e-7 abs for |x|<=6, saturating outside (f32, FMA-only)."""
+    xc = jnp.clip(x, -6.0, 6.0)
+    s = xc * xc * np.float32(1.0 / 18.0) - 1.0
+    q = jnp.float32(_CDF_Q_COEF[-1])
+    for c in _CDF_Q_COEF[-2::-1]:
+        q = q * s + np.float32(c)
+    return 0.5 + xc * q
+
+
 def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf_approx(x * np.float32(1.0 / np.sqrt(2.0))))
+    return x * _norm_cdf(x)
+
+
+# Inference-path GELU: Phi(x) = 0.5*(1 + tanh(x*(c1 + t*(c3 + c5*t)))), t=x^2,
+# |x| clamped to 8 (the quintic keeps tanh's argument monotone there; p(8)=13.8
+# so the tails are exactly saturated).  Coefficients are a Lawson-reweighted
+# minimax fit of arctanh(2*Phi-1): max |gelu - exact| = 2.6e-5 in f32 on
+# [-40, 40] — far under the kernel's 5e-4 parity budget — at ~6 FMA/mul ops
+# plus one hardware tanh.  Measured A/B at B=2048 (docs/PERF.md): erf-approx
+# 80.1 ms, deg-16 Horner 79.3 ms (serial FMA chain is as slow as the
+# transcendental), tanh-GELU 57.1 ms, relu floor 50.7 ms — this form rides
+# the cheap tanh.  The training VJP kernels keep the 1.6e-6 `_gelu_exact`:
+# the x50-scaled gradient stress test resolves ~1e-6 activation error.
+_T1 = np.float32(7.97507840e-01)
+_T3 = np.float32(3.70056839e-02)
+_T5 = np.float32(-3.51522657e-04)
+
+
+def _gelu_fast(x):
+    xc = jnp.clip(x, -8.0, 8.0)
+    t = xc * xc
+    p = xc * (_T1 + t * (_T3 + _T5 * t))
+    return x * (0.5 * (1.0 + jnp.tanh(p)))
 
 
 def _group_onehot(C, num_groups):
@@ -57,63 +104,72 @@ def _group_onehot(C, num_groups):
 
 def _group_norm_rows(x, scale, bias, num_groups=32, eps=1e-5):
     """GN over a (P, C) block: stats per group of C//G channels across all P
-    rows; group aggregation/broadcast via one-hot matmuls (MXU)."""
+    rows; group aggregation/broadcast via one-hot matmuls (MXU).  The two
+    stats rows (sum, sum-of-squares) ride ONE matmul each way — the tiny
+    (1, C) @ (C, G) matmuls have fixed MXU latency, so halving their count
+    matters at per-object grid granularity."""
     P, C = x.shape
     cg = C // num_groups
     M = _group_onehot(C, num_groups)             # (C, G)
     s1 = jnp.sum(x, axis=0, keepdims=True)       # (1, C)
     s2 = jnp.sum(x * x, axis=0, keepdims=True)   # (1, C)
-    g1 = jnp.dot(s1, M, preferred_element_type=jnp.float32)  # (1, G)
-    g2 = jnp.dot(s2, M, preferred_element_type=jnp.float32)
+    s12 = jnp.concatenate([s1, s2], axis=0)      # (2, C)
+    g12 = jnp.dot(s12, M, preferred_element_type=jnp.float32)  # (2, G)
     n = P * cg
-    mean_g = g1 / n
-    var_g = g2 / n - mean_g * mean_g
+    mean_g = g12[0:1] / n
+    var_g = g12[1:2] / n - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
-    # back to channel vectors: (1, G) @ (G, C)
-    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32)
-    inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32)
-    return (x - mean_c) * inv_c * scale + bias
+    # back to channel vectors: (2, G) @ (G, C) in one matmul
+    mi_g = jnp.concatenate([mean_g, inv_g], axis=0)
+    mi_c = jnp.dot(mi_g, M.T, preferred_element_type=jnp.float32)
+    return (x - mi_c[0:1]) * mi_c[1:2] * scale + bias
 
 
-def _head_body(cdt, pf, g_sel, w_pt, b0, gn0_s, gn0_b, w1, b1, gn1_s, gn1_b,
-               neck_w, neck_b, pw, pb):
-    """One per-axis head for one object. pf: (P, 64); g_sel: (P, 256) f32
-    precomputed global term. 1-D params arrive reshaped to (1, -1).
-    Matmuls run in `cdt` (bf16 on TPU) with f32 accumulation; GN/GELU f32."""
-    x = jnp.dot(pf.astype(cdt), w_pt.astype(cdt),
-                preferred_element_type=jnp.float32) + g_sel + b0
-    x = _gelu_exact(_group_norm_rows(x, gn0_s, gn0_b))
-    x = jnp.dot(x.astype(cdt), w1.astype(cdt),
-                preferred_element_type=jnp.float32) + b1
-    x = _gelu_exact(_group_norm_rows(x, gn1_s, gn1_b))
-    v = jnp.dot(pw, x, preferred_element_type=jnp.float32)  # (1, 256) f32
-    out = v @ neck_w + jnp.sum(pw) * neck_b + pb  # (1, 3)
-    return out
-
-
-def _kernel(cdt, n_pcl_ref, pf_ref, gterm_x_ref, gterm_y_ref, *refs):
-    """Grid step = one object. refs: 12 params for head x (w_g excluded —
-    its term is precomputed), 12 for head y, then out_ref (1, 6)."""
-    px = refs[:12]
-    py = refs[12:24]
-    out_ref = refs[24]
+def _kernel(cdt, n_pcl_ref, pf_ref, gterm_ref, w_pt_ref, b0_ref, gn0s_ref,
+            gn0b_ref, w1x_ref, w1y_ref, b1_ref, gn1s_ref, gn1b_ref, pw2_ref,
+            neckbd_ref, bias6_ref, out_ref):
+    """Grid step = one object; BOTH per-axis heads run as joint (P, 512)
+    tensors (columns [0:256] = head x, [256:512] = head y).  Per-head
+    parameters arrive pre-merged (see `fused_conv_per_rot_head`): layer-0
+    weights column-concatenated, GN affines concatenated (64 joint groups of
+    8 channels = 2 heads x 32 groups — group boundaries respect the split),
+    point weights row-stacked, and the 3-wide output necks block-diagonal in
+    a (512, 6) matrix.  This collapses ~38 small matmuls per object (2 heads
+    x [2 big + 8 tiny GN + 2 reductions]) into 9, which matters because the
+    tiny (1, C)-row matmuls are MXU-latency-bound at per-object granularity.
+    Layer 1 stays per-head (two (P,256)@(256,256) dots) — channel mixing must
+    not cross heads.  Matmuls in `cdt` (bf16 on TPU) with f32 accumulation;
+    GN/GELU in f32."""
     n_pcl = n_pcl_ref[0]
 
     pf = pf_ref[0]  # (P, 64)
     P = pf.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    is_pcl = row < n_pcl  # (P, 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    is_pcl = row_i < n_pcl  # (P, 1)
 
-    def run(gterm_ref, params):
-        gt = gterm_ref[0].astype(jnp.float32)  # (2, 256): [pcl term, kps term]
-        g_sel = jnp.where(is_pcl, gt[0][None, :], gt[1][None, :])
-        return _head_body(cdt, pf, g_sel, *[p[...] for p in params])
+    gt = gterm_ref[0].astype(jnp.float32)  # (2, 512): [pcl terms, kps terms]
+    g_sel = jnp.where(is_pcl, gt[0][None, :], gt[1][None, :])  # (P, 512)
 
-    rx = run(gterm_x_ref, px)  # (1, 3)
-    ry = run(gterm_y_ref, py)
+    x = jnp.dot(pf.astype(cdt), w_pt_ref[...].astype(cdt),
+                preferred_element_type=jnp.float32) + g_sel + b0_ref[...]
+    x = _gelu_fast(_group_norm_rows(x, gn0s_ref[...], gn0b_ref[...],
+                                    num_groups=64))
+    xc = x.astype(cdt)
+    x1 = jnp.dot(xc[:, :256], w1x_ref[...].astype(cdt),
+                 preferred_element_type=jnp.float32)
+    x2 = jnp.dot(xc[:, 256:], w1y_ref[...].astype(cdt),
+                 preferred_element_type=jnp.float32)
+    x = jnp.concatenate([x1, x2], axis=1) + b1_ref[...]
+    x = _gelu_fast(_group_norm_rows(x, gn1s_ref[...], gn1b_ref[...],
+                                    num_groups=64))
+    # per-head point reductions in one (2, P) @ (P, 512) matmul; each head
+    # keeps its own half of its row
+    v2 = jnp.dot(pw2_ref[...], x, preferred_element_type=jnp.float32)  # (2, 512)
+    vcat = jnp.concatenate([v2[0:1, :256], v2[1:2, 256:]], axis=1)  # (1, 512)
+    out6 = vcat @ neckbd_ref[...] + bias6_ref[...]  # (1, 6) = [rx | ry]
     # out block is (1, 8, 128) to satisfy TPU tiling; row 0 cols 0:6 are real.
     # Built by concatenation (no scatter lowering on TPU).
-    row = jnp.concatenate([rx, ry, jnp.zeros((1, 122), jnp.float32)], axis=1)
+    row = jnp.concatenate([out6, jnp.zeros((1, 122), jnp.float32)], axis=1)
     out_ref[0] = jnp.concatenate([row, jnp.zeros((7, 128), jnp.float32)], axis=0)
 
 
@@ -156,23 +212,40 @@ def fused_conv_per_rot_head(point_feats: jnp.ndarray, g_pcl: jnp.ndarray,
     px = [prep(p) for p in _head_param_list(rot_head_params["rot_head_x"])]
     py = [prep(p) for p in _head_param_list(rot_head_params["rot_head_y"])]
 
-    # the global-feature terms are per-object (B, 2, 256) — computed OUTSIDE
-    # the kernel as two big batched matmuls (MXU-efficient)
-    def gterms(p):
-        w_g, b0 = p[0], None
-        t_pcl = g_pcl.astype(jnp.float32) @ w_g  # (B, 256)
-        t_kps = g_kps.astype(jnp.float32) @ w_g
-        return jnp.stack([t_pcl, t_kps], axis=1)  # (B, 2, 256)
+    # merge the two per-axis heads into joint [x | y] parameter blocks (see
+    # _kernel): all concatenations are along 128-aligned boundaries
+    w_pt = jnp.concatenate([px[1], py[1]], axis=1)        # (64, 512)
+    b0 = jnp.concatenate([px[2], py[2]], axis=1)          # (1, 512)
+    gn0s = jnp.concatenate([px[3], py[3]], axis=1)
+    gn0b = jnp.concatenate([px[4], py[4]], axis=1)
+    w1x, w1y = px[5], py[5]                               # (256, 256) each
+    b1 = jnp.concatenate([px[6], py[6]], axis=1)          # (1, 512)
+    gn1s = jnp.concatenate([px[7], py[7]], axis=1)
+    gn1b = jnp.concatenate([px[8], py[8]], axis=1)
+    pw2 = jnp.concatenate([px[11], py[11]], axis=0)       # (2, P)
+    # block-diagonal output neck (512, 6): columns 0:3 read head-x rows only
+    z = jnp.zeros_like(px[9])
+    neckbd = jnp.concatenate([
+        jnp.concatenate([px[9], z], axis=1),
+        jnp.concatenate([z, py[9]], axis=1),
+    ], axis=0)                                            # (512, 6)
+    # constant output bias: sum(pw)*neck_bias + point_bias, per head
+    bias6 = jnp.concatenate([
+        jnp.sum(px[11]) * px[10] + px[12],
+        jnp.sum(py[11]) * py[10] + py[12],
+    ], axis=1)                                            # (1, 6)
 
-    gx = gterms(px)
-    gy = gterms(py)
+    # the global-feature terms are per-object (B, 2, 512) — computed OUTSIDE
+    # the kernel as two big batched matmuls (MXU-efficient)
+    g_both = jnp.stack([g_pcl.astype(jnp.float32),
+                        g_kps.astype(jnp.float32)], axis=1)  # (B, 2, 1024)
+    w_g = jnp.concatenate([px[0], py[0]], axis=1)            # (1024, 512)
+    gterm = jnp.einsum("bkc,cd->bkd", g_both, w_g)           # (B, 2, 512)
 
     n_pcl_arr = jnp.full((1,), n_pcl, dtype=jnp.int32)
 
-    feat_dim = px[2].shape[-1]  # b0 is (1, 256) after prep
-    param_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in px[1:] + py[1:]
-    ]
+    params = [w_pt, b0, gn0s, gn0b, w1x, w1y, b1, gn1s, gn1b, pw2, neckbd, bias6]
+    param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -180,8 +253,8 @@ def fused_conv_per_rot_head(point_feats: jnp.ndarray, g_pcl: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, P, point_feats.shape[2]), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, feat_dim), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, feat_dim), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 512), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ] + param_specs,
         out_specs=pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -193,5 +266,5 @@ def fused_conv_per_rot_head(point_feats: jnp.ndarray, g_pcl: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
-    )(n_pcl_arr, point_feats, gx, gy, *px[1:], *py[1:])
+    )(n_pcl_arr, point_feats, gterm, *params)
     return out[:, 0, :6]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_heads import _gelu_exact, _group_norm_rows, _group_onehot, _head_param_list
+from .pallas_heads import _gelu_fast, _group_norm_rows, _group_onehot, _head_param_list
 
 
 def _blocked_kernel(cdt, G, P, n_pcl, *refs):
@@ -59,9 +59,9 @@ def _blocked_kernel(cdt, G, P, n_pcl, *refs):
                 pieces.append(_group_norm_rows(x[c * P:(c + 1) * P], scale, bias))
             return jnp.concatenate(pieces, axis=0)
 
-        x = _gelu_exact(gn_per_obj(x, gn0_s, gn0_b)).astype(cdt)
+        x = _gelu_fast(gn_per_obj(x, gn0_s, gn0_b)).astype(cdt)
         x = jnp.dot(x, w1.astype(cdt), preferred_element_type=jnp.float32) + b1
-        x = _gelu_exact(gn_per_obj(x, gn1_s, gn1_b)).astype(cdt)
+        x = _gelu_fast(gn_per_obj(x, gn1_s, gn1_b)).astype(cdt)
         # conv_p per object: static-slice point reductions
         vs = [jnp.dot(pw.astype(cdt), x[c * P:(c + 1) * P],
                       preferred_element_type=jnp.float32) for c in range(G)]

@@ -35,20 +35,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_heads import _erf_approx, _group_onehot, _head_param_list
+from .pallas_heads import _gelu_exact, _group_onehot, _head_param_list, _norm_cdf
 
-_INV_SQRT2 = np.float32(1.0 / np.sqrt(2.0))
 _INV_SQRT2PI = np.float32(1.0 / np.sqrt(2.0 * np.pi))
 
 
 def _gelu(x):
-    return 0.5 * x * (1.0 + _erf_approx(x * _INV_SQRT2))
+    return _gelu_exact(x)
 
 
 def _gelu_grad(x):
+    # pdf via hardware exp (~1e-7 rel; a deg-18 polynomial's ~1e-6 abs error
+    # fails the x50-scaled gradient-parity stress test); the cdf is the
+    # FMA-only polynomial from pallas_heads — the erf+divide it replaces was
+    # the expensive part.
     phi = jnp.exp(-0.5 * x * x) * _INV_SQRT2PI
-    Phi = 0.5 * (1.0 + _erf_approx(x * _INV_SQRT2))
-    return Phi + x * phi
+    return _norm_cdf(x) + x * phi
 
 
 def _gn_stats(x, M, n):

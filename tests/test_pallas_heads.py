@@ -41,3 +41,32 @@ def test_fused_rot_head_split_position_matters():
     a = fused_conv_per_rot_head(pf, g_pcl, g_kps, params, n_pcl=P, interpret=True)
     b = fused_conv_per_rot_head(pf, g_pcl, g_kps, params, n_pcl=P + K, interpret=True)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_poly_gelu_matches_exact():
+    """The FMA-only polynomial GELU must match exact erf-GELU to ~5e-6
+    everywhere that matters (GN outputs are a few sigma; tails saturate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from catre_tpu.ops.pallas_heads import _gelu_exact
+
+    x = jnp.asarray(np.linspace(-30, 30, 200001, dtype=np.float32))
+    ours = np.asarray(_gelu_exact(x))
+    exact = np.asarray(jax.nn.gelu(x, approximate=False))
+    np.testing.assert_allclose(ours, exact, atol=6e-6)
+
+
+def test_fast_gelu_accuracy():
+    """tanh-form inference GELU: |err| <= 3e-5 everywhere."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from catre_tpu.ops.pallas_heads import _gelu_fast
+
+    x = jnp.asarray(np.linspace(-40, 40, 400001, dtype=np.float32))
+    ours = np.asarray(_gelu_fast(x))
+    exact = np.asarray(jax.nn.gelu(x, approximate=False))
+    np.testing.assert_allclose(ours, exact, atol=3e-5)
