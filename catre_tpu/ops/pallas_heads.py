@@ -165,7 +165,10 @@ def _kernel(cdt, n_pcl_ref, pf_ref, gterm_ref, w_pt_ref, b0_ref, gn0s_ref,
     # per-head point reductions in one (2, P) @ (P, 512) matmul; each head
     # keeps its own half of its row
     v2 = jnp.dot(pw2_ref[...], x, preferred_element_type=jnp.float32)  # (2, 512)
-    vcat = jnp.concatenate([v2[0:1, :256], v2[1:2, 256:]], axis=1)  # (1, 512)
+    # row 0 cols 0:256 | row 1 cols 256:512 via a lane-mask select (Mosaic
+    # cannot concatenate slices with mismatched sublane offsets)
+    cmask = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1) < 256
+    vcat = jnp.where(cmask, v2[0:1], v2[1:2])  # (1, 512)
     out6 = vcat @ neckbd_ref[...] + bias6_ref[...]  # (1, 6) = [rx | ry]
     # out block is (1, 8, 128) to satisfy TPU tiling; row 0 cols 0:6 are real.
     # Built by concatenation (no scatter lowering on TPU).

@@ -18,15 +18,19 @@ RNG = np.random.default_rng(7)
 SMALL_CFG = CATREConfig(num_pcl=128, num_kps=128)
 
 
-def _synthetic_batch(b=4, p=128, k=128):
-    """Object = anisotropically scaled canonical shape, posed in camera frame."""
-    canonical = RNG.normal(size=(b, k, 3)).astype(np.float32)
+def _synthetic_batch(b=4, p=128, k=128, seed=None):
+    """Object = anisotropically scaled canonical shape, posed in camera frame.
+
+    Pass `seed` for a batch independent of suite order (the module RNG is
+    stateful across every test that imports this helper)."""
+    rng = np.random.default_rng(seed) if seed is not None else RNG
+    canonical = rng.normal(size=(b, k, 3)).astype(np.float32)
     canonical /= np.abs(canonical).max(axis=(1, 2), keepdims=True) * 2  # within unit box
-    scale = RNG.uniform(0.1, 0.3, size=(b, 3)).astype(np.float32)
-    euler = RNG.uniform(-np.pi, np.pi, size=(b, 3)).astype(np.float32)
+    scale = rng.uniform(0.1, 0.3, size=(b, 3)).astype(np.float32)
+    euler = rng.uniform(-np.pi, np.pi, size=(b, 3)).astype(np.float32)
     R = np.asarray(euler_to_mat(jnp.asarray(euler)))
     t = np.stack(
-        [RNG.uniform(-0.2, 0.2, b), RNG.uniform(-0.2, 0.2, b), RNG.uniform(0.6, 1.2, b)], axis=1
+        [rng.uniform(-0.2, 0.2, b), rng.uniform(-0.2, 0.2, b), rng.uniform(0.6, 1.2, b)], axis=1
     ).astype(np.float32)
     pose = np.concatenate([R, t[:, :, None]], axis=2).astype(np.float32)
     pcl = np.asarray(
