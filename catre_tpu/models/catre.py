@@ -57,6 +57,7 @@ class CATREConfig:
     fused_heads_train: bool = False       # custom-VJP fused rot head (training)
     fused_block_size: int = 1             # objects per rot-head grid step
     fused_encoder: bool = False           # Pallas encoder columns (inference)
+    fused_encoder_epilogue: bool = True   # fuse the ->1024->max tails (inference)
 
     @property
     def is_allo(self) -> bool:
@@ -193,6 +194,17 @@ def delta_forward_fused(cfg: CATREConfig, params, x, tfd_kps, init_scale, init_t
             return pointnet_forward_fused(
                 params["pcl_net"], xx, feature_transform=cfg.feature_transform,
                 interpret=interpret,
+            )
+    elif cfg.fused_encoder_epilogue:
+        # XLA keeps the big GEMMs; only the three ->1024->max tails run in
+        # Pallas so the (N*P, 1024) activations never hit HBM
+        from ..ops.pallas_encoder_epilogue import pointnet_encode_fused
+
+        def encode(xx):
+            return pointnet_encode_fused(
+                params["pcl_net"], xx, feature_transform=cfg.feature_transform,
+                interpret=interpret,
+                compute_dtype=jnp.float32 if interpret else cfg.dtype or jnp.float32,
             )
     else:
         enc = PointNetFeat(
