@@ -39,21 +39,24 @@ def _max_per_cloud(h, G, P):
 
 
 def _kernel_1(cdt, G, P, x_ref, w_ref, b_ref, out_ref):
+    # matmul accumulates f32 (Mosaic requires a 32-bit acc); the result is
+    # immediately rounded to cdt — exactly flax Dense(dtype=bf16)
     xb = x_ref[...].reshape(G * P, x_ref.shape[-1])
     h = jnp.dot(xb.astype(cdt), w_ref[...].astype(cdt),
-                preferred_element_type=jnp.float32) + b_ref[...]
-    h = jnp.maximum(h.astype(cdt), 0).astype(jnp.float32)
-    out_ref[...] = _max_per_cloud(h, G, P)
+                preferred_element_type=jnp.float32).astype(cdt)
+    h = jnp.maximum(h + b_ref[...].astype(cdt), 0)
+    out_ref[...] = _max_per_cloud(h.astype(jnp.float32), G, P)
 
 
 def _kernel_2(cdt, G, P, x_ref, w3_ref, b3_ref, w4_ref, b4_ref, out_ref):
     xb = x_ref[...].reshape(G * P, x_ref.shape[-1])
     h = jnp.dot(xb.astype(cdt), w3_ref[...].astype(cdt),
-                preferred_element_type=jnp.float32) + b3_ref[...]
-    h = jnp.maximum(h.astype(cdt), 0)  # relu in compute dtype (flax parity)
-    h = jnp.dot(h, w4_ref[...].astype(cdt),
-                preferred_element_type=jnp.float32) + b4_ref[...]
-    out_ref[...] = _max_per_cloud(h.astype(cdt).astype(jnp.float32), G, P)
+                preferred_element_type=jnp.float32).astype(cdt)
+    h = jnp.maximum(h + b3_ref[...].astype(cdt), 0)  # relu in compute dtype
+    h = (jnp.dot(h, w4_ref[...].astype(cdt),
+                 preferred_element_type=jnp.float32).astype(cdt)
+         + b4_ref[...].astype(cdt))
+    out_ref[...] = _max_per_cloud(h.astype(jnp.float32), G, P)
 
 
 def _call(kernel, x, params, n_out, block_clouds, interpret, compute_dtype):
@@ -83,7 +86,7 @@ def _call(kernel, x, params, n_out, block_clouds, interpret, compute_dtype):
 
 
 @partial(jax.jit, static_argnames=("block_clouds", "interpret", "compute_dtype"))
-def fused_dense_relu_max(x, kernel, bias, block_clouds=8, interpret=False,
+def fused_dense_relu_max(x, kernel, bias, block_clouds=16, interpret=False,
                          compute_dtype=jnp.bfloat16):
     """max over P of relu(x @ kernel + bias); x (N, P, Cin) -> (N, Cout)."""
     params = [kernel.astype(jnp.float32), bias.astype(jnp.float32).reshape(1, -1)]
@@ -92,7 +95,7 @@ def fused_dense_relu_max(x, kernel, bias, block_clouds=8, interpret=False,
 
 
 @partial(jax.jit, static_argnames=("block_clouds", "interpret", "compute_dtype"))
-def fused_dense_relu_dense_max(x, k3, b3, k4, b4, block_clouds=8,
+def fused_dense_relu_dense_max(x, k3, b3, k4, b4, block_clouds=16,
                                interpret=False, compute_dtype=jnp.bfloat16):
     """max over P of (relu(x @ k3 + b3) @ k4 + b4); x (N, P, Cin) -> (N, C4)."""
     params = [k3.astype(jnp.float32), b3.astype(jnp.float32).reshape(1, -1),
@@ -102,7 +105,7 @@ def fused_dense_relu_dense_max(x, k3, b3, k4, b4, block_clouds=8,
 
 
 def pointnet_encode_fused(params, x, feature_transform=True, interpret=False,
-                          compute_dtype=jnp.bfloat16, block_clouds=8):
+                          compute_dtype=jnp.bfloat16, block_clouds=16):
     """PointNetFeat forward (return_parts semantics) with the three
     `-> 1024 -> max` tails fused; everything else stays in XLA.
 
