@@ -70,3 +70,33 @@ def test_fast_gelu_accuracy():
     ours = np.asarray(_gelu_fast(x))
     exact = np.asarray(jax.nn.gelu(x, approximate=False))
     np.testing.assert_allclose(ours, exact, atol=3e-5)
+
+
+def test_grouped_kernel_matches_per_object():
+    """group=2/4 grouped grid must match the per-object kernel exactly
+    (f32 interpreter)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from catre_tpu.models import CATREConfig, CATREDisRShared, init_params
+    from catre_tpu.ops.pallas_heads import fused_conv_per_rot_head
+
+    cfg = CATREConfig(num_pcl=64, num_kps=64)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    rp = params["rot_head"]
+
+    rng = np.random.default_rng(0)
+    B, P = 8, cfg.num_pcl + cfg.num_kps
+    pf = jnp.asarray(rng.normal(size=(B, P, 64)).astype(np.float32))
+    g1 = jnp.asarray(rng.normal(size=(B, 1024)).astype(np.float32))
+    g2 = jnp.asarray(rng.normal(size=(B, 1024)).astype(np.float32))
+
+    ref = fused_conv_per_rot_head(pf, g1, g2, rp, n_pcl=cfg.num_pcl,
+                                  interpret=True)
+    for G in (2, 4):
+        out = fused_conv_per_rot_head(pf, g1, g2, rp, n_pcl=cfg.num_pcl,
+                                      interpret=True, group=G)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"group={G}")
