@@ -48,9 +48,9 @@ def main():
 
         best = 0.0
         # keep the compile count low: remote compiles are slow in this image.
-        # b=4096 amortizes the per-call dispatch overhead best: 4581 obj/s vs
-        # 4455 at b=2048 (see docs/PERF.md)
-        batch_sizes = [4096]
+        # b=8192 amortizes the per-call dispatch overhead best: 6467 obj/s vs
+        # 6317 at b=4096 and 6046 at b=2048 (see docs/PERF.md)
+        batch_sizes = [8192]
         for b in batch_sizes:
             R = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
             t = np.tile(np.array([0, 0, 1.0], dtype=np.float32), (b, 1))
