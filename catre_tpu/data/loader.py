@@ -62,10 +62,23 @@ class LoaderConfig:
     noise_scale_std_test: tuple = ((0.001, 0.005, 0.001), (0.005, 0.001, 0.005), (0.01, 0.01, 0.01))
 
 
+def _quiet_cv2():
+    """cv2 with its thread pool disabled: the decode work runs on our own
+    loader threads and opencv's internal pool oversubscribes the host
+    (reference guard: `main_catre.py:17-20` cv2.setNumThreads(0))."""
+    import cv2
+
+    try:
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+    return cv2
+
+
 def load_depth(path: str) -> np.ndarray:
     """16-bit depth png -> meters; handles the encoded-3ch variant
     (`cat_data_utils.py:447-460`)."""
-    import cv2
+    cv2 = _quiet_cv2()
 
     depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if depth is None:
@@ -318,7 +331,7 @@ class CATRELoader:
         # aligned per-point extras: nocs coords (train variants with a nocs
         # loss, `data_loader.py:584-611` samples nocs with the same indices)
         if record.get("coord_file") and self.cfg.with_nocs:
-            import cv2
+            cv2 = _quiet_cv2()
 
             from ..tools.pose_data import decode_coord_map
 
@@ -341,7 +354,7 @@ class CATRELoader:
         if self.cfg.pcl_with_color:
             # aligned RGB in [0,1] per sampled point (INPUT.PCL_WITH_COLOR;
             # the reference's crop_ball_from_depth_image returns rgb too)
-            import cv2
+            cv2 = _quiet_cv2()
 
             bgr = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
             if bgr is not None:
