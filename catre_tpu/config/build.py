@@ -46,6 +46,7 @@ def model_config_from(cfg) -> CATREConfig:
         dtype=jnp.bfloat16 if cfg.MODEL.get("BF16", False) else None,
         fused_heads=bool(cfg.MODEL.get("FUSED_HEADS", False)),
         fused_heads_train=bool(cfg.MODEL.get("FUSED_HEADS_TRAIN", False)),
+        fused_encoder_epilogue=bool(cfg.MODEL.get("FUSED_ENCODER_EPILOGUE", True)),
     )
 
 

@@ -69,3 +69,16 @@ def test_train_resume_and_eval(tmp_path, fake_real_root):  # noqa: F811
     assert 0 in res and 2 in res
     # iter0 comes from perturbed gt; APs must be finite numbers
     assert np.isfinite(list(res[0]["summary"].values())).all()
+
+
+def test_eval_with_fused_heads(tmp_path, fake_real_root):  # noqa: F811
+    """MODEL.FUSED_HEADS=True routes eval through the Pallas kernels
+    (interpreter on CPU) end-to-end via config plumbing."""
+    cfg = _small_cfg(tmp_path, fake_real_root)
+    apply_overrides(cfg, ["SOLVER.TOTAL_EPOCHS=1", "MODEL.FUSED_HEADS=True",
+                          "MODEL.FUSED_HEADS_TRAIN=True"])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out_fused")
+    do_train(cfg, resume=False)
+    results = do_test(cfg)
+    res = results["nocs_test_real"]["results"]
+    assert np.isfinite(list(res[0]["summary"].values())).all()
