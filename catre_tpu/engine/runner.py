@@ -209,10 +209,28 @@ def do_train(cfg, resume: bool = False) -> None:
     writers = [MetricPrinter(max_iter), JSONWriter(osp.join(output_dir, "metrics.json")),
                TensorboardWriter(tb_dir)]
 
+    # optional jax.profiler capture of a few post-warmup steps
+    # (TRAIN.PROFILE_ITERS=k profiles iterations [2, 2+k) into
+    # OUTPUT_DIR/profile; reference has wall-clock timing only, SURVEY §5)
+    profile_iters = int(cfg.TRAIN.get("PROFILE_ITERS", 0))
+    profile_dir = osp.join(output_dir, "profile")
+    profiling = False
+    # skip 2 warmup (compile) iterations when the run is long enough
+    profile_skip = min(2, max(0, max_iter - start_iter - profile_iters))
+
     key = jax.random.PRNGKey(1000 + max(cfg.get("SEED", 0), 0))
     rng_host = np.random.default_rng(max(cfg.get("SEED", 0), 0))
     iter_t0 = None
     for iteration in range(start_iter, max_iter):
+        if (profile_iters > 0 and not profiling
+                and iteration >= start_iter + profile_skip):
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+        elif profiling and iteration >= start_iter + profile_skip + profile_iters:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", profile_dir)
+            profiling = False
+            profile_iters = 0
         storage.iter = iteration
         epoch = iteration // iters_per_epoch + 1
         storage.put_scalar("epoch", epoch)
@@ -270,6 +288,9 @@ def do_train(cfg, resume: bool = False) -> None:
 
     for w in writers:
         w.close()
+    if profiling:  # short runs: close the trace at loop end
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", profile_dir)
     logger.info("training done: %d iterations", max_iter)
 
 

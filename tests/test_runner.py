@@ -82,3 +82,16 @@ def test_eval_with_fused_heads(tmp_path, fake_real_root):  # noqa: F811
     results = do_test(cfg)
     res = results["nocs_test_real"]["results"]
     assert np.isfinite(list(res[0]["summary"].values())).all()
+
+
+def test_train_profile_iters(tmp_path, fake_real_root):  # noqa: F811
+    """TRAIN.PROFILE_ITERS captures a jax.profiler trace into OUTPUT_DIR."""
+    import os
+
+    cfg = _small_cfg(tmp_path, fake_real_root)
+    apply_overrides(cfg, ["SOLVER.TOTAL_EPOCHS=1", "TRAIN.PROFILE_ITERS=1"])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out_prof")
+    do_train(cfg, resume=False)
+    prof = os.path.join(cfg.OUTPUT_DIR, "profile")
+    assert os.path.isdir(prof)
+    assert any(files for _, _, files in os.walk(prof))
