@@ -58,6 +58,16 @@ def _maybe_mesh(cfg):
     return mesh
 
 
+@jax.jit
+def _update_bad_iter(bad_iter, loss_vec, it):
+    """Every-iteration finiteness guard (ref engine.py:322 asserts per iter):
+    a device-side "first bad iteration" scalar updated asynchronously each
+    step and fetched only at the periodic metric sync, so the check costs no
+    extra host<->device round-trips."""
+    bad = ~jnp.all(jnp.isfinite(loss_vec))
+    return jnp.where((bad_iter < 0) & bad, jnp.asarray(it, jnp.int32), bad_iter)
+
+
 def build_model(cfg):
     mcfg = model_config_from(cfg)
     model = CATREDisRShared(mcfg)
@@ -92,6 +102,15 @@ def _batch_to_device(batch: dict, max_objs: int | None = None,
             "obj_mean_points", "obj_mean_scales", "K"]
     if "last_frame_poses" in batch:
         keep = keep + ["last_frame_poses"]
+    if max_objs is not None and batch["pcl"].shape[0] > max_objs:
+        # no-silent-caps: the static slice may drop VALID instances (always
+        # the trailing images' ones) when the flattened batch exceeds the cap
+        n_valid_dropped = int(np.sum(np.asarray(batch["valid"][max_objs:])))
+        if n_valid_dropped > 0:
+            logger.warning(
+                "MAX_OBJS_TRAIN cap %d dropped %d valid instances (batch had %d rows)",
+                max_objs, n_valid_dropped, batch["pcl"].shape[0],
+            )
     out = {}
     for k in keep:
         v = batch[k]
@@ -221,6 +240,7 @@ def do_train(cfg, resume: bool = False) -> None:
     key = jax.random.PRNGKey(1000 + max(cfg.get("SEED", 0), 0))
     rng_host = np.random.default_rng(max(cfg.get("SEED", 0), 0))
     iter_t0 = None
+    bad_iter = jnp.asarray(-1, jnp.int32)
     for iteration in range(start_iter, max_iter):
         if (profile_iters > 0 and not profiling
                 and iteration >= start_iter + profile_skip):
@@ -266,17 +286,21 @@ def do_train(cfg, resume: bool = False) -> None:
         lr = lr_fn(iteration)
         key, sub = jax.random.split(key)
         state, metrics = get_step_fn(max_refine_iter)(state, batch, sub, lr)
+        bad_iter = _update_bad_iter(bad_iter, metrics["loss_total"], iteration)
 
         storage.put_scalar("lr", lr)
         if (iteration + 1) % print_freq == 0 or iteration == max_iter - 1:
             m = jax.device_get(metrics)
+            bad = int(jax.device_get(bad_iter))
+            if bad >= 0:
+                raise FloatingPointError(
+                    f"non-finite loss first observed at iteration {bad} "
+                    f"(detected at iteration {iteration})"
+                )
             for i in range(max_refine_iter):
                 for k, v in m.items():
                     storage.put_scalar(f"iter{i}/{k}", float(np.asarray(v)[i]))
-            total_last = float(np.asarray(m["loss_total"])[-1])
-            if not np.isfinite(total_last):
-                raise FloatingPointError(f"loss diverged at iter {iteration}: {total_last}")
-            storage.put_scalar("loss_total", total_last)
+            storage.put_scalar("loss_total", float(np.asarray(m["loss_total"])[-1]))
             for w in writers:
                 w.write(storage)
 

@@ -20,6 +20,7 @@ import optax
 from ..data.aug import aug_3d_bbox, aug_poses_normal, aug_rt, aug_scale_normal, maybe_apply
 from ..geom.errors import rotation_error_deg, translation_error
 from ..losses import LossConfig, catre_loss
+from ..losses.common import masked_mean
 from ..models.catre import CATREConfig, CATREDisRShared, refine_forward
 
 
@@ -216,11 +217,15 @@ def make_train_step(model: CATREDisRShared, cfg: CATREConfig, loss_cfg: LossConf
             pose_est = jax.lax.stop_gradient(pose)
             scale_est = jax.lax.stop_gradient(scale)
             metrics = dict(loss_dict, loss_total=total)
-            metrics["error_R"] = jnp.mean(
-                rotation_error_deg(pose[:, :3, :3], batch["obj_pose"][:, :3, :3])
+            # error metrics masked by validity: padded rows carry dummy
+            # identity poses and must not bias the logged errors
+            valid = batch.get("valid")
+            w = None if valid is None else valid.astype(jnp.float32)
+            metrics["error_R"] = masked_mean(
+                rotation_error_deg(pose[:, :3, :3], batch["obj_pose"][:, :3, :3]), w
             )
-            metrics["error_t"] = jnp.mean(
-                translation_error(pose[:, :3, 3], batch["obj_pose"][:, :3, 3])
+            metrics["error_t"] = masked_mean(
+                translation_error(pose[:, :3, 3], batch["obj_pose"][:, :3, 3]), w
             )
             return (params, opt_state, pose_est, scale_est), metrics
 
