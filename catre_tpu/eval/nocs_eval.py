@@ -104,6 +104,117 @@ def compute_3d_iou_new(RT_1, RT_2, scales_1, scales_2, handle_visibility,
     return _aabb_iou(RT_1, RT_2, scales_1, scales_2)
 
 
+def _box_bounds(RTs: np.ndarray, scales: np.ndarray):
+    """AABB bounds of transformed scale boxes, batched over leading dims.
+
+    RTs: (..., 4, 4), scales: (..., 3) -> (min (..., 3), max (..., 3)).
+    Same arithmetic as `_aabb_iou`'s per-box step (hom transform of the 8
+    corners, bounds over the corner axis) vectorized over all boxes.
+    """
+    s = np.asarray(scales, dtype=np.float64)
+    # (..., 8, 3) signed corner pattern matching get_3d_bbox's corner order
+    signs = np.array(
+        [[1, 1, 1], [1, 1, -1], [-1, 1, 1], [-1, 1, -1],
+         [1, -1, 1], [1, -1, -1], [-1, -1, 1], [-1, -1, -1]], dtype=np.float64)
+    corners = signs * (s[..., None, :] / 2.0)  # (..., 8, 3)
+    ones = np.ones(corners.shape[:-1] + (1,), dtype=np.float64)
+    hom = np.concatenate([corners, ones], axis=-1)  # (..., 8, 4)
+    # (..., 4, 4) @ (..., 4, 8) -> (..., 4, 8)
+    out = np.einsum("...ij,...nj->...in", np.asarray(RTs, dtype=np.float64), hom)
+    pts = out[..., :3, :] / out[..., 3:4, :]
+    return pts.min(axis=-1), pts.max(axis=-1)
+
+
+def pairwise_3d_ious(pred_RTs, pred_scales, gt_RTs, gt_scales,
+                     sym_pair: np.ndarray) -> np.ndarray:
+    """Vectorized (num_pred, num_gt) matrix of `compute_3d_iou_new` values.
+
+    sym_pair: (num_pred, num_gt) bool — pair uses the 20-y-rotation max.
+    Replaces the O(P*G*20) python loop of the reference
+    (`test_utils.py:560-575` calling `:140-205` per pair); verified 1e-9
+    against the scalar protocol in tests/test_eval.py.
+    """
+    P, G = len(pred_RTs), len(gt_RTs)
+    if P == 0 or G == 0:
+        return np.zeros((P, G), dtype=np.float64)
+    pred_RTs = np.asarray(pred_RTs, dtype=np.float64)
+    gt_RTs = np.asarray(gt_RTs, dtype=np.float64)
+    yrots = np.stack(_y_rots_20())  # (20, 4, 4); index 0 is identity
+    # (P, 20, 4, 4): prediction boxes under each symmetry rotation
+    RT_rot = np.einsum("pij,rjk->prik", pred_RTs, yrots)
+    pmin, pmax = _box_bounds(RT_rot, np.broadcast_to(
+        np.asarray(pred_scales, np.float64)[:, None, :], (P, 20, 3)))
+    gmin, gmax = _box_bounds(gt_RTs, gt_scales)  # (G, 3)
+
+    omin = np.maximum(pmin[:, :, None, :], gmin[None, None, :, :])  # (P, 20, G, 3)
+    omax = np.minimum(pmax[:, :, None, :], gmax[None, None, :, :])
+    edge = omax - omin
+    inter = np.where(edge.min(axis=-1) < 0, 0.0, np.prod(edge, axis=-1))  # (P, 20, G)
+    vol_p = np.prod(pmax - pmin, axis=-1)  # (P, 20)
+    vol_g = np.prod(gmax - gmin, axis=-1)  # (G,)
+    union = vol_p[:, :, None] + vol_g[None, None, :] - inter
+    ious = inter / union  # (P, 20, G)
+
+    # symmetric pairs: max over rotations, floored at 0 (ref starts max_iou=0);
+    # non-symmetric: rotation 0 (identity) only
+    return np.where(sym_pair, np.maximum(ious.max(axis=1), 0.0), ious[:, 0, :])
+
+
+def _sym_pair_mask(pred_class_ids, gt_class_ids, gt_handle_visibility,
+                   synset_names) -> np.ndarray:
+    """(P, G) mask of pairs evaluated with the symmetric 20-rotation max
+    (`test_utils.py:178-201` condition)."""
+    pred_names = np.array([synset_names[int(c)] for c in pred_class_ids])
+    gt_names = np.array([synset_names[int(c)] for c in gt_class_ids])
+    same = pred_names[:, None] == gt_names[None, :]
+    gt_sym_always = np.isin(gt_names, ("bottle", "bowl", "can"))
+    gt_sym_mug = (gt_names == "mug") & (np.asarray(gt_handle_visibility) == 0)
+    return same & (gt_sym_always | gt_sym_mug)[None, :]
+
+
+def pairwise_degree_cm(pred_RTs, gt_RTs, gt_class_ids, gt_handle_visibility,
+                       synset_names=SYNSET_NAMES) -> np.ndarray:
+    """Vectorized (num_pred, num_gt, 2) table of
+    `compute_RT_degree_cm_symmetry` values (`test_utils.py:619-689`);
+    replaces the per-pair loop of `compute_RT_overlaps` (`:692-713`)."""
+    P, G = len(pred_RTs), len(gt_RTs)
+    if P == 0 or G == 0:
+        return np.zeros((P, G, 2), dtype=np.float64)
+    RT1 = np.asarray(pred_RTs, dtype=np.float64)
+    RT2 = np.asarray(gt_RTs, dtype=np.float64)
+    for RT in (RT1, RT2):
+        assert np.array_equal(
+            RT[:, 3, :], np.tile(np.array([0.0, 0.0, 0.0, 1.0]), (RT.shape[0], 1))
+        ), RT
+
+    R1 = RT1[:, :3, :3] / np.cbrt(np.linalg.det(RT1[:, :3, :3]))[:, None, None]
+    T1 = RT1[:, :3, 3]
+    R2 = RT2[:, :3, :3] / np.cbrt(np.linalg.det(RT2[:, :3, :3]))[:, None, None]
+    T2 = RT2[:, :3, 3]
+
+    gt_names = np.array([synset_names[int(c)] for c in gt_class_ids])
+    sym = np.isin(gt_names, ("bottle", "can", "bowl")) | (
+        (gt_names == "mug") & (np.asarray(gt_handle_visibility) == 0)
+    )  # (G,)
+
+    # symmetric: angle between rotated y axes, no clip (parity with the
+    # reference, `test_utils.py:664-667`)
+    y1 = R1[:, :, 1]  # R @ [0,1,0] = second column
+    y2 = R2[:, :, 1]
+    dots = y1 @ y2.T  # (P, G)
+    norms = np.linalg.norm(y1, axis=1)[:, None] * np.linalg.norm(y2, axis=1)[None, :]
+    with np.errstate(invalid="ignore"):
+        theta_sym = np.arccos(dots / norms)
+
+    # general: trace formula with clip (`test_utils.py:679-683`)
+    tr = np.einsum("pik,gik->pg", R1, R2)  # trace(R1 @ R2.T)
+    theta_gen = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+
+    theta = np.where(sym[None, :], theta_sym, theta_gen) * 180.0 / np.pi
+    shift = np.linalg.norm(T1[:, None, :] - T2[None, :, :], axis=-1) * 100.0
+    return np.stack([theta, shift], axis=-1)
+
+
 def compute_RT_degree_cm_symmetry(RT_1, RT_2, class_id, handle_visibility,
                                   synset_names=SYNSET_NAMES):
     """(theta deg, shift cm) with y-axis symmetry handling
@@ -176,14 +287,14 @@ def compute_3d_matches(gt_class_ids, gt_RTs, gt_scales, gt_handle_visibility,
         pred_scales = np.asarray(pred_scales)[indices].copy()
         pred_RTs = np.asarray(pred_RTs)[indices].copy()
 
-    overlaps = np.zeros((num_pred, num_gt), dtype=np.float32)
-    for i in range(num_pred):
-        for j in range(num_gt):
-            overlaps[i, j] = compute_3d_iou_new(
-                pred_RTs[i], gt_RTs[j], pred_scales[i, :], gt_scales[j],
-                gt_handle_visibility[j], synset_names[pred_class_ids[i]],
-                synset_names[gt_class_ids[j]],
-            )
+    if num_pred and num_gt:
+        sym_pair = _sym_pair_mask(pred_class_ids, gt_class_ids,
+                                  gt_handle_visibility, synset_names)
+        overlaps = pairwise_3d_ious(
+            pred_RTs, pred_scales, gt_RTs, gt_scales, sym_pair
+        ).astype(np.float32)
+    else:
+        overlaps = np.zeros((num_pred, num_gt), dtype=np.float32)
 
     num_thres = len(iou_3d_thresholds)
     pred_matches = -1 * np.ones([num_thres, num_pred])
@@ -211,15 +322,15 @@ def compute_3d_matches(gt_class_ids, gt_RTs, gt_scales, gt_handle_visibility,
 
 def compute_RT_overlaps(gt_class_ids, gt_RTs, gt_handle_visibility,
                         pred_class_ids, pred_RTs, synset_names):
-    """(num_pred, num_gt, 2) degree/cm error table (`test_utils.py:692-713`)."""
+    """(num_pred, num_gt, 2) degree/cm error table (`test_utils.py:692-713`),
+    computed by the vectorized pairwise kernel."""
     num_pred, num_gt = len(pred_class_ids), len(gt_class_ids)
-    overlaps = np.zeros((num_pred, num_gt, 2))
-    for i in range(num_pred):
-        for j in range(num_gt):
-            overlaps[i, j, :] = compute_RT_degree_cm_symmetry(
-                pred_RTs[i], gt_RTs[j], gt_class_ids[j], gt_handle_visibility[j], synset_names
-            )
-    return overlaps
+    if num_pred == 0 or num_gt == 0:
+        return np.zeros((num_pred, num_gt, 2))
+    return pairwise_degree_cm(
+        np.asarray(pred_RTs), np.asarray(gt_RTs), gt_class_ids,
+        gt_handle_visibility, synset_names,
+    )
 
 
 def compute_match_from_degree_cm(overlaps, pred_class_ids, gt_class_ids,

@@ -113,3 +113,47 @@ def test_full_map_matches_reference():
     )
     np.testing.assert_allclose(ours_iou, ref_iou, atol=1e-9)
     np.testing.assert_allclose(ours_pose, ref_pose, atol=1e-9)
+
+
+def test_pairwise_ious_match_scalar_reference():
+    """Vectorized (P,G) IoU kernel == per-pair reference calls at 1e-9,
+    including mixed classes and mug handle visibility."""
+    from catre_tpu.eval.nocs_eval import _sym_pair_mask, pairwise_3d_ious
+
+    for trial in range(5):
+        P, G = 6, 4
+        pred_RTs = np.stack([_rand_rt() for _ in range(P)])
+        gt_RTs = np.stack([_rand_rt() for _ in range(G)])
+        pred_scales = RNG.uniform(0.1, 0.4, size=(P, 3))
+        gt_scales = RNG.uniform(0.1, 0.4, size=(G, 3))
+        pred_cls = RNG.integers(1, 7, size=P)
+        gt_cls = RNG.integers(1, 7, size=G)
+        gt_hv = RNG.integers(0, 2, size=G)
+
+        sym = _sym_pair_mask(pred_cls, gt_cls, gt_hv, SYNSET_NAMES)
+        ours = pairwise_3d_ious(pred_RTs, pred_scales, gt_RTs, gt_scales, sym)
+        for i in range(P):
+            for j in range(G):
+                ref = ref_tu.compute_3d_iou_new(
+                    pred_RTs[i], gt_RTs[j], pred_scales[i], gt_scales[j],
+                    gt_hv[j], SYNSET_NAMES[pred_cls[i]], SYNSET_NAMES[gt_cls[j]],
+                )
+                assert ours[i, j] == pytest.approx(ref, abs=1e-9), (i, j)
+
+
+def test_pairwise_degree_cm_matches_scalar_reference():
+    from catre_tpu.eval.nocs_eval import pairwise_degree_cm
+
+    for trial in range(5):
+        P, G = 5, 4
+        pred_RTs = np.stack([_rand_rt() for _ in range(P)])
+        gt_RTs = np.stack([_rand_rt() for _ in range(G)])
+        gt_cls = RNG.integers(1, 7, size=G)
+        gt_hv = RNG.integers(0, 2, size=G)
+        ours = pairwise_degree_cm(pred_RTs, gt_RTs, gt_cls, gt_hv, SYNSET_NAMES)
+        for i in range(P):
+            for j in range(G):
+                ref = ref_tu.compute_RT_degree_cm_symmetry(
+                    pred_RTs[i], gt_RTs[j], gt_cls[j], gt_hv[j], SYNSET_NAMES
+                )
+                np.testing.assert_allclose(ours[i, j], ref, atol=1e-9)
