@@ -49,6 +49,11 @@ INPUT = dict(
     CANONICAL_TRANS=[0, 0, 1.0],
     CANONICAL_SIZE=[0.2, 0.2, 0.2],
     OCCLUDE_MASK_TEST=False,
+    # color / background aug for the RGB point path (ref common_base.py:41,
+    # base_data_loader color+bg augmentors; off in the shipped recipe)
+    COLOR_AUG_PROB=0.0,
+    CHANGE_BG_PROB=0.0,
+    BG_IMGS_ROOT="",
 )
 
 DATALOADER = dict(
@@ -62,6 +67,7 @@ SOLVER = dict(
     IMS_PER_BATCH=16,
     TOTAL_EPOCHS=120,
     OPTIMIZER_CFG=dict(type="Ranger", lr=1e-4, weight_decay=0),
+    WEIGHT_DECAY=0.0,  # legacy knob (OPTIMIZER_CFG.weight_decay governs)
     GAMMA=0.1,
     LR_SCHEDULER_NAME="flat_and_anneal",
     WARMUP_METHOD="linear",
@@ -164,6 +170,7 @@ MODEL = dict(
             PM_DISENTANGLE_Z=False,
             PM_T_USE_POINTS=True,
             PM_USE_BBOX=False,
+            PM_NORM_BY_EXTENT=False,  # 1. / extent.max(1, keepdim=True)[0]
             PM_LW=1.0,
             ROT_LOSS_TYPE="angular",
             ROT_YAXIS_LOSS_TYPE="L1",

@@ -30,6 +30,7 @@ class LossConfig:
     pm_disentangle_z: bool = False
     pm_t_use_points: bool = True
     pm_lw: float = 1.0
+    pm_norm_by_extent: bool = False
     rot_loss_type: str = "angular"       # angular | L2
     rot_yaxis_loss_type: str = "L1"      # L1 | smoothL1 | L2 | angular
     rot_lw: float = 1.0
@@ -85,6 +86,8 @@ def catre_loss(
                 disentangle_t=cfg.pm_disentangle_t,
                 disentangle_z=cfg.pm_disentangle_z,
                 t_loss_use_points=cfg.pm_t_use_points,
+                norm_by_extent=cfg.pm_norm_by_extent,
+                extents=gt_scale,
             )
         )
 

@@ -39,13 +39,27 @@ def pm_loss(
     disentangle_t: bool = False,
     disentangle_z: bool = False,
     t_loss_use_points: bool = True,
+    norm_by_extent: bool = False,
+    extents: jnp.ndarray | None = None,     # (B, 3)
 ) -> dict:
     """Returns a dict of loss scalars ({'loss_PM_R': ...} in the shipped cfg).
 
     The x3 factor compensates the mean over the coordinate dim, matching the
     reference (`pm_loss.py:193`).
+
+    norm_by_extent: the config key PM_NORM_BY_EXTENT is documented but dead
+    in the reference (`pm_loss.py:44` docstring only; PyPMLoss never takes
+    it). Implemented here per the config comment
+    (`configs/...120e.py:118`: "1. / extent.max(1, keepdim=True)[0]") —
+    per-sample weight 1/max(extent) applied to the prior points, the
+    GDR-Net ancestor semantics.
     """
     fn = elementwise(loss_type, beta)
+
+    if norm_by_extent:
+        assert extents is not None, "norm_by_extent requires extents"
+        weights = 1.0 / jnp.maximum(jnp.max(extents, axis=1, keepdims=True), 1e-6)
+        points = points * weights[:, :, None]
 
     if symmetric:
         assert sym_flags is not None and sym_bank is not None

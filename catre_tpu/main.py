@@ -41,6 +41,10 @@ def setup(args):
     cfg = load_config(args.config_file)
     cfg = apply_overrides(cfg, [o for o in args.opts if "=" in o])
 
+    from catre_tpu.config.build import validate_config
+
+    validate_config(cfg)  # warn (or raise under STRICT_CFG) on unknown keys
+
     # auto OUTPUT_DIR from config path (`main_catre.py:51-56`)
     if not cfg.get("OUTPUT_DIR"):
         base = osp.splitext(osp.basename(args.config_file))[0]

@@ -1,0 +1,98 @@
+"""Config-surface tests (VERDICT r1 missing #6): every accepted key acts.
+
+PM_NORM_BY_EXTENT, DATALOADER.FILTER_VISIB_THR, INIT_POSE_TYPE_TEST=canonical,
+and strict unknown-key rejection.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from catre_tpu.config.build import validate_config
+from catre_tpu.config.loader import load_config
+from catre_tpu.engine.runner import filter_invalid_dicts
+from catre_tpu.losses.pm_loss import pm_loss
+
+CFG_PATH = (
+    "catre_tpu/configs/nocs_real/"
+    "aug05_kpsMS_r9d_catreDisR_shared_tspcl_convPerRot_scaleexp_120e.py"
+)
+
+
+def test_shipped_configs_validate_clean():
+    for name in ["", "_initspd"]:
+        cfg = load_config(CFG_PATH.replace("120e", f"120e{name}") if name else CFG_PATH)
+        assert validate_config(cfg, strict=True) == []
+
+
+def test_strict_mode_rejects_unknown_keys():
+    cfg = load_config(CFG_PATH)
+    cfg["MODEL"]["CATRE"]["LOSS_CFG"]["PM_TYPO_LW"] = 1.0
+    with pytest.raises(ValueError, match="PM_TYPO_LW"):
+        validate_config(cfg, strict=True)
+    # non-strict: warns, returns the paths
+    assert validate_config(cfg, strict=False) == ["MODEL.CATRE.LOSS_CFG.PM_TYPO_LW"]
+
+
+def test_pm_norm_by_extent_scales_points():
+    rng = np.random.default_rng(3)
+    b, p = 4, 16
+    pts = jnp.asarray(rng.normal(size=(b, p, 3)).astype(np.float32))
+    R = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+    gt_R = jnp.asarray(
+        np.stack([np.eye(3)] * b).astype(np.float32)
+    ).at[:, 0, 0].set(0.8).at[:, 0, 1].set(0.6).at[:, 1, 0].set(-0.6).at[:, 1, 1].set(0.8)
+    extents = jnp.asarray(rng.uniform(0.1, 0.5, size=(b, 3)).astype(np.float32))
+
+    base = pm_loss(R, gt_R, pts, symmetric=False, r_only=True, with_scale=False)
+    normed = pm_loss(R, gt_R, pts, symmetric=False, r_only=True, with_scale=False,
+                     norm_by_extent=True, extents=extents)
+    # with per-sample weights w_i = 1/max(extent_i), the L1 loss of sample i
+    # scales by w_i; check against the hand-weighted recomputation
+    w = 1.0 / np.max(np.asarray(extents), axis=1)
+    per_sample = np.mean(
+        np.abs(np.asarray(jnp.einsum("bij,bpj->bpi", R, pts) - jnp.einsum("bij,bpj->bpi", gt_R, pts))),
+        axis=(1, 2),
+    )
+    expected = 3.0 * np.mean(per_sample * w)
+    np.testing.assert_allclose(float(normed["loss_PM_R"]), expected, rtol=1e-5)
+    assert not np.isclose(float(base["loss_PM_R"]), float(normed["loss_PM_R"]))
+
+
+def test_filter_visib_thr():
+    dicts = [
+        {"scene_im_id": "a", "annotations": [
+            {"visib_fract": 0.05, "category_id": 1},
+            {"visib_fract": 0.8, "category_id": 2},
+        ]},
+        {"scene_im_id": "b", "annotations": [{"visib_fract": 0.1, "category_id": 1}]},
+        {"scene_im_id": "c", "annotations": [{"category_id": 3}]},  # absent -> 1.0
+    ]
+    out = filter_invalid_dicts(dicts, visib_thr=0.3)
+    assert [d["scene_im_id"] for d in out] == ["a", "c"]
+    assert len(out[0]["annotations"]) == 1
+    assert out[0]["annotations"][0]["category_id"] == 2
+    # thr=0 keeps everything (reference default)
+    out0 = filter_invalid_dicts(dicts, visib_thr=0.0)
+    assert sum(len(d["annotations"]) for d in out0) == 4
+    # input not mutated
+    assert len(dicts[0]["annotations"]) == 2
+
+
+def test_canonical_test_init():
+    from catre_tpu.engine.runner import _add_canonical_init
+
+    cfg = load_config(CFG_PATH)
+    dicts = [{"scene_im_id": "x", "annotations": [
+        {"pose": np.eye(3, 4, dtype=np.float32), "scale": np.ones(3, np.float32)},
+        {"pose": np.eye(3, 4, dtype=np.float32), "scale": np.ones(3, np.float32)},
+    ]}]
+    _add_canonical_init(cfg, dicts)
+    a = dicts[0]["annotations"][0]
+    assert a["pose_est"].shape == (3, 4)
+    R = a["pose_est"][:, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(a["pose_est"][:, 3], cfg.INPUT.CANONICAL_TRANS, atol=1e-6)
+    np.testing.assert_allclose(a["scale_est"], cfg.INPUT.CANONICAL_SIZE, atol=1e-6)
+    assert a["score"] == 1.0
