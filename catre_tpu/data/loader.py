@@ -54,7 +54,7 @@ class LoaderConfig:
     # [R | t | s] arrays aligned with annotation order
     init_pose_train_path: str = ""
     bbox_type_test: str = "est"       # est | gt
-    init_pose_type_test: str = "est"  # est | gt_noise
+    init_pose_type_test: str = "est"  # est | gt_noise | canonical
     # gt_noise test mode (validation without external detections)
     noise_rot_std_test: float = 15.0
     noise_rot_max_test: float = 45.0
@@ -446,4 +446,12 @@ class CATRELoader:
                     yield self._flatten(group)
                     group = []
             if group:
+                # pad the final partial group to the fixed batch shape so the
+                # jitted refine compiles exactly once (padding images carry
+                # valid=False rows and a None scene_im_id the consumer skips)
+                while len(group) < self.ims_per_batch:
+                    pad_im = dict(group[0])
+                    pad_im["valid"] = np.zeros_like(group[0]["valid"])
+                    pad_im["scene_im_id"] = None
+                    group.append(pad_im)
                 yield self._flatten(group)

