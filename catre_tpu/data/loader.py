@@ -252,7 +252,7 @@ class CATRELoader:
 
     def __init__(self, dataset_dicts: list, cfg: LoaderConfig, phase: str = "train",
                  ims_per_batch: int = 16, seed: int = 0, max_objs_train: int = 128,
-                 num_workers: int = 0):
+                 num_workers: int = 0, rank: int = 0, world_size: int = 1):
         assert phase in ("train", "test")
         self.dicts = dataset_dicts
         self.cfg = cfg
@@ -260,8 +260,15 @@ class CATRELoader:
         self.ims_per_batch = ims_per_batch
         self.max_objs_train = max_objs_train
         self.num_workers = num_workers
-        self.rng = np.random.default_rng(seed)
-        self.key = jax.random.PRNGKey(seed)
+        self.rank = rank
+        self.world_size = world_size
+        # aug rng is per-rank (reference: per-worker seeds); the epoch
+        # permutation rng is SHARED (same seed on every rank) so the
+        # rank-strided split partitions one global shuffle
+        # (`my_distributed_sampler.py:12-55`)
+        self.rng = np.random.default_rng(seed + 7919 * rank)
+        self._perm_rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed + 7919 * rank)
         self._sampler = _make_image_sampler(cfg)
         self._mean_points = assets.mean_shape_array()
         self._mean_scales = meta.mean_scales_array()
@@ -416,10 +423,19 @@ class CATRELoader:
             return None
         return self._device_part(record, data)
 
-    def _train_records(self):
+    def _infinite_indices(self):
         while True:
-            for idx in self.rng.permutation(len(self.dicts)):
-                yield self.dicts[idx]
+            yield from self._perm_rng.permutation(len(self.dicts))
+
+    def _train_records(self):
+        """Rank-strided slice of the infinite shuffled index stream (the
+        reference's `TrainingSampler`, `my_distributed_sampler.py:12-55`)."""
+        import itertools
+
+        for idx in itertools.islice(
+            self._infinite_indices(), self.rank, None, self.world_size
+        ):
+            yield self.dicts[idx]
 
     def __iter__(self):
         if self.phase == "train":

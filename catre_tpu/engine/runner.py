@@ -32,7 +32,7 @@ from ..engine.train import TrainState, make_train_step
 from ..eval import CATREEvaluator, run_inference
 from ..geom.symmetry import axis_symmetry_rotation_bank
 from ..models import CATREDisRShared, init_params
-from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..parallel import comm, make_global_batch, make_mesh, pad_to_multiple, replicate_tree
 from ..solver import build_optimizer
 from ..solver.schedule import build_lr_fn
 from ..utils import checkpoint as ckpt
@@ -41,10 +41,21 @@ from ..utils.events import EventStorage, JSONWriter, MetricPrinter, TensorboardW
 logger = logging.getLogger(__name__)
 
 
-def _maybe_mesh(cfg):
+def _maybe_mesh(cfg, local: bool = False):
     """Data-parallel mesh when NUM_CHIPS > 1 (or 0 = all available devices).
     Absent key = single-device (the reference's default of 1 GPU). Returns
-    None for single-device execution."""
+    None for single-device execution.
+
+    Multi-process (jax.distributed initialized): the mesh is mandatory —
+    global (all devices, one SPMD program) for training; local=True gives a
+    per-process mesh over local devices (eval runs rank-independent like the
+    reference's DDP eval and gathers predictions afterwards)."""
+    if jax.process_count() > 1:
+        mesh = make_mesh(devices=jax.local_devices()) if local else make_mesh()
+        logger.info("multi-host mesh (%s): %d devices over %d processes",
+                    "local" if local else "global", mesh.devices.size,
+                    jax.process_count())
+        return mesh
     if "NUM_CHIPS" not in cfg:
         return None
     n = int(cfg["NUM_CHIPS"])
@@ -180,6 +191,16 @@ def do_train(cfg, resume: bool = False) -> None:
         )
 
     # data -------------------------------------------------------------
+    world = comm.get_world_size()
+    rank = comm.get_rank()
+    ims_per_batch = int(cfg.SOLVER.IMS_PER_BATCH)  # GLOBAL batch (ref semantics)
+    if ims_per_batch % world != 0:
+        raise ValueError(
+            f"SOLVER.IMS_PER_BATCH={ims_per_batch} not divisible by "
+            f"{world} processes"
+        )
+    ims_local = ims_per_batch // world
+
     train_dicts = _get_train_dicts(cfg, cfg.DATASETS.TRAIN)
     if not train_dicts:
         raise FileNotFoundError(
@@ -188,10 +209,11 @@ def do_train(cfg, resume: bool = False) -> None:
     loader_cfg = loader_config_from(cfg, "train")
     loader = CATRELoader(
         train_dicts, loader_cfg, phase="train",
-        ims_per_batch=int(cfg.SOLVER.IMS_PER_BATCH),
+        ims_per_batch=ims_local,
         seed=max(cfg.get("SEED", 0), 0),
         max_objs_train=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
         num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
+        rank=rank, world_size=world,
     )
     loader_iter = iter(loader)
 
@@ -202,10 +224,10 @@ def do_train(cfg, resume: bool = False) -> None:
         dicts2 = _get_train_dicts(cfg, train2)
         loader2_iter = iter(CATRELoader(
             dicts2, loader_cfg, phase="train",
-            ims_per_batch=int(cfg.SOLVER.IMS_PER_BATCH), seed=1 + max(cfg.get("SEED", 0), 0),
+            ims_per_batch=ims_local, seed=1 + max(cfg.get("SEED", 0), 0),
+            rank=rank, world_size=world,
         ))
 
-    ims_per_batch = int(cfg.SOLVER.IMS_PER_BATCH)
     iters_per_epoch = max(len(train_dicts) // ims_per_batch, 1)
     total_epochs = int(cfg.SOLVER.TOTAL_EPOCHS)
     max_iter = total_epochs * iters_per_epoch
@@ -247,14 +269,17 @@ def do_train(cfg, resume: bool = False) -> None:
     print_freq = int(cfg.TRAIN.get("PRINT_FREQ", 100))
 
     tb_dir = osp.join(output_dir, "tb")
-    if not resume and osp.isdir(tb_dir):
+    if not resume and osp.isdir(tb_dir) and comm.is_main_process():
         # fresh run: back the old tensorboard dir up (ref engine.py:152-161)
         import shutil
 
         shutil.move(tb_dir, tb_dir + f"_old_{int(time.time())}")
     storage = EventStorage(start_iter)
-    writers = [MetricPrinter(max_iter), JSONWriter(osp.join(output_dir, "metrics.json")),
-               TensorboardWriter(tb_dir)]
+    # writers are main-process-only (ref `my_writer.py` gating)
+    writers = [] if not comm.is_main_process() else [
+        MetricPrinter(max_iter), JSONWriter(osp.join(output_dir, "metrics.json")),
+        TensorboardWriter(tb_dir),
+    ]
 
     # optional jax.profiler capture of a few post-warmup steps
     # (TRAIN.PROFILE_ITERS=k profiles iterations [2, 2+k) into
@@ -294,10 +319,13 @@ def do_train(cfg, resume: bool = False) -> None:
             batch_np = next(loader2_iter)
         else:
             batch_np = next(loader_iter)
-        max_objs = int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120))
+        # MAX_OBJS_TRAIN is the GLOBAL flattened-instance cap; each process
+        # holds 1/world of the rows, truncated to a local-device multiple so
+        # the global row count shards evenly over the mesh
+        max_objs = int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)) // world
         if mesh is not None:
-            # even sharding across the mesh: truncate to a device multiple
-            max_objs -= max_objs % mesh.devices.size
+            local_dev = mesh.devices.size // world
+            max_objs -= max_objs % local_dev
         batch = _batch_to_device(
             batch_np, max_objs=max_objs,
             kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
@@ -305,7 +333,10 @@ def do_train(cfg, resume: bool = False) -> None:
             with_neg_axis=bool(cfg.INPUT.get("WITH_NEG_AXIS", False)),
         )
         if mesh is not None:
-            batch = shard_batch(mesh, batch)
+            local_dev = mesh.devices.size // world
+            if batch["pcl"].shape[0] % local_dev:
+                batch = pad_to_multiple(batch, local_dev)
+            batch = make_global_batch(mesh, batch)
 
         if iter_t0 is not None:
             storage.put_scalar("time", time.perf_counter() - iter_t0)
@@ -397,7 +428,10 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
         # TEST.IMS_PER_BATCH > 1 batches several images per jit call (the
         # reference evaluates one image per step; 1 reproduces that)
         ims_per_batch = int(cfg.TEST.get("IMS_PER_BATCH", 1))
-        loader = CATRELoader(dicts, loader_cfg, phase="test",
+        # multi-process: exact contiguous record split (InferenceSampler,
+        # `my_distributed_sampler.py:172-200`); world=1 slice is the whole set
+        local_dicts = dicts[comm.inference_slice(len(dicts))]
+        loader = CATRELoader(local_dicts, loader_cfg, phase="test",
                              ims_per_batch=ims_per_batch)
         if ctx is not None and ("refine", n_iter) in ctx:
             refine = ctx[("refine", n_iter)]
@@ -406,8 +440,11 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
             if ctx is not None:
                 ctx[("refine", n_iter)] = refine
         # eval-time data parallelism: shard instance rows over the mesh when
-        # the fixed row count divides evenly (VERDICT r1 weak #1)
-        mesh = _maybe_mesh(cfg)
+        # the fixed row count divides evenly (VERDICT r1 weak #1). Multi-host:
+        # each process evaluates its contiguous record shard on a LOCAL mesh
+        # (rank-independent, like the reference's DDP eval) and the evaluator
+        # gathers predictions before scoring.
+        mesh = _maybe_mesh(cfg, local=True)
         rows = ims_per_batch * int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8))
         if mesh is not None and rows % mesh.devices.size != 0:
             logger.warning(

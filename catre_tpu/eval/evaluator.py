@@ -80,7 +80,22 @@ class CATREEvaluator:
     # -------------------------------------------------- scoring
     def evaluate(self, dump: bool = True) -> dict:
         """Per-iteration mAP tables. Returns
-        {iter_i: {"iou_aps": ..., "pose_aps": ..., "summary": {...}}}."""
+        {iter_i: {"iou_aps": ..., "pose_aps": ..., "summary": {...}}};
+        empty on non-main processes (predictions are gathered to every
+        process but only the main one scores, mirroring
+        `catre_custom_evaluator.py:200-213`)."""
+        from ..parallel import comm
+
+        if comm.get_world_size() > 1:
+            gathered = comm.all_gather(self._preds)
+            merged = [dict() for _ in range(self.n_iters + 1)]
+            for proc_preds in gathered:
+                for refine_i, d in enumerate(proc_preds):
+                    merged[refine_i].update(d)
+            self._preds = merged
+            if not comm.is_main_process():
+                return {}
+
         # threshold lists of the reference evaluator
         # (`catre_custom_evaluator.py:248-251`)
         iou_thres_list = [0.1, 0.25, 0.50, 0.75]

@@ -28,6 +28,15 @@ def my_default_argument_parser():
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--num-chips", type=int, default=0,
                    help="devices in the data-parallel mesh (0 = all)")
+    # multi-host launch (mirrors the reference's --num-machines/--machine-rank/
+    # --dist-url, `default_args_setup.py:73-90`; TPU pods auto-detect these,
+    # so they are only needed for manual/CPU clusters)
+    p.add_argument("--num-machines", type=int, default=1,
+                   help="number of processes in the multi-host job")
+    p.add_argument("--machine-rank", type=int, default=0,
+                   help="this process's rank")
+    p.add_argument("--dist-url", default="",
+                   help="coordinator address host:port (empty = auto/TPU detection)")
     p.add_argument("--fp16-allreduce", action="store_true",
                    help="accepted for reference-CLI compat (no-op: XLA manages collectives)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
@@ -51,12 +60,16 @@ def setup(args):
         cfg["OUTPUT_DIR"] = osp.join(cfg.get("OUTPUT_ROOT", "output"), "catre_tpu", base)
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
 
+    from catre_tpu.parallel import comm as _comm
+
+    rank = _comm.get_rank()
+    log_name = "log.txt" if rank == 0 else f"log.rank{rank}.txt"
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
         handlers=[
             logging.StreamHandler(sys.stdout),
-            logging.FileHandler(osp.join(cfg.OUTPUT_DIR, "log.txt")),
+            logging.FileHandler(osp.join(cfg.OUTPUT_DIR, log_name)),
         ],
     )
 
@@ -70,6 +83,12 @@ def setup(args):
         import time as _t
 
         seed = int(_t.time()) % (2 ** 31)
+        from catre_tpu.parallel import comm
+
+        if comm.get_world_size() > 1:
+            # every rank must shuffle/augment from the same base seed
+            # (the reference broadcasts via `seed_all_rng`/shared_random_seed)
+            seed = int(comm.all_gather(seed)[0])
         cfg["SEED"] = seed
     import numpy as _np
     import random as _random
@@ -77,13 +96,13 @@ def setup(args):
     _np.random.seed(seed)
     _random.seed(seed)
 
-    dump_config(cfg, osp.join(cfg.OUTPUT_DIR, "config_dump.py"))
+    if _comm.is_main_process():
+        dump_config(cfg, osp.join(cfg.OUTPUT_DIR, "config_dump.py"))
     return cfg
 
 
 def main(args=None):
     args = my_default_argument_parser().parse_args(args)
-    cfg = setup(args)
 
     import jax
 
@@ -93,6 +112,19 @@ def main(args=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    # multi-host init must precede any other jax use (and setup()'s seed
+    # broadcast); single-machine launches skip it entirely
+    from catre_tpu.parallel import comm
+
+    if args.num_machines > 1 or args.dist_url:
+        comm.init_dist(
+            coordinator_address=args.dist_url or None,
+            num_processes=args.num_machines,
+            process_id=args.machine_rank,
+        )
+
+    cfg = setup(args)
 
     from catre_tpu.engine.runner import do_test, do_train
 

@@ -1,6 +1,8 @@
+from . import comm
 from .mesh import (
     DP_AXIS,
     batch_sharding,
+    make_global_batch,
     make_mesh,
     pad_to_multiple,
     replicate_tree,
@@ -9,6 +11,6 @@ from .mesh import (
 )
 
 __all__ = [
-    "DP_AXIS", "batch_sharding", "make_mesh", "pad_to_multiple",
-    "replicate_tree", "replicated", "shard_batch",
+    "DP_AXIS", "batch_sharding", "comm", "make_global_batch", "make_mesh",
+    "pad_to_multiple", "replicate_tree", "replicated", "shard_batch",
 ]

@@ -95,6 +95,18 @@ def gather_arrays(x: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x)).reshape((-1,) + x.shape[1:])
 
 
+def inference_slice(n: int, rank: int | None = None, world_size: int | None = None):
+    """Exact contiguous per-process split of n test records (the reference's
+    `InferenceSampler`, `my_distributed_sampler.py:172-200`): every record
+    appears on exactly one process."""
+    rank = get_rank() if rank is None else rank
+    world_size = get_world_size() if world_size is None else world_size
+    shard_size = (n - 1) // world_size + 1
+    begin = min(shard_size * rank, n)
+    end = min(shard_size * (rank + 1), n)
+    return slice(begin, end)
+
+
 def reduce_dict(metrics: dict, average: bool = True) -> dict:
     """Average scalar metrics across processes (ref `my_comm.py:27-67`).
     Under jit the loss reductions already psum over the mesh; this is for

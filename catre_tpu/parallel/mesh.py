@@ -56,6 +56,27 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, sh)
 
 
+def make_global_batch(mesh: Mesh, batch: dict) -> dict:
+    """Batch arrays -> global arrays sharded on the leading (instance) axis.
+
+    Single-process: a plain sharded device_put. Multi-process: each process's
+    local batch becomes its shard of the global array (the SPMD analogue of
+    the reference's per-rank DDP loader split,
+    `core/utils/dataset_utils.py:391-452`); global row count = world_size x
+    local rows.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec
+
+    pspec = PartitionSpec(DP_AXIS)
+    return {
+        k: multihost_utils.host_local_array_to_global_array(np.asarray(v), mesh, pspec)
+        for k, v in batch.items()
+    }
+
+
 def pad_to_multiple(batch: dict, multiple: int) -> dict:
     """Pad the leading axis of every array to a multiple (for even sharding),
     extending the 'valid' mask with False."""
