@@ -58,6 +58,18 @@ def validate_config(cfg, strict: bool | None = None) -> list:
     return unknown
 
 
+def _fused_ok(flag, rot_type: str) -> bool:
+    """Fused Pallas rot-head kernels hard-code the shipped 3+3 rot6d neck;
+    any other ROT_TYPE falls back to the flax path (with a warning)."""
+    flag = bool(flag)
+    if flag and not rot_type.endswith("rot6d"):
+        logger.warning(
+            "FUSED_HEADS* requested with ROT_TYPE=%s — fused kernels support "
+            "rot6d only; using the unfused flax path", rot_type)
+        return False
+    return flag
+
+
 def _t(x):
     """tuple-ify nested lists for hashable dataclass fields."""
     if isinstance(x, (list, tuple)):
@@ -69,6 +81,21 @@ def model_config_from(cfg) -> CATREConfig:
     net = cfg.MODEL.CATRE
     rot = net.ROT_HEAD
     ts = net.TS_HEAD
+    # ROT_TYPE drives the total predicted-rot width (ref model_utils.py:11-25);
+    # the per-sub-head INIT_CFG rot_dim, when given, must be consistent with
+    # it (ref passes INIT_CFG.rot_dim straight to ConvOutPerRotHead and the
+    # mismatch only explodes later inside get_rot_mat — we fail at build).
+    from ..geom.rotations import get_rot_dim
+
+    rot_type = rot.get("ROT_TYPE", "ego_rot6d")
+    rot_out_dim = get_rot_dim(rot_type)  # raises on unknown ROT_TYPE
+    cfg_rot_dim = rot.INIT_CFG.get("rot_dim", None)
+    if cfg_rot_dim is not None and int(cfg_rot_dim) != (rot_out_dim + 1) // 2:
+        raise ValueError(
+            f"ROT_HEAD.INIT_CFG.rot_dim={cfg_rot_dim} inconsistent with "
+            f"ROT_TYPE={rot_type} (total width {rot_out_dim} needs per-head "
+            f"rot_dim {(rot_out_dim + 1) // 2})"
+        )
     return CATREConfig(
         num_pcl=int(cfg.INPUT.NUM_PCL),
         num_kps=int(cfg.INPUT.NUM_KPS),
@@ -83,7 +110,7 @@ def model_config_from(cfg) -> CATREConfig:
         ts_with_kps_feature=bool(ts.get("WITH_KPS_FEATURE", False)),
         ts_with_init_scale=bool(ts.get("WITH_INIT_SCALE", False)),
         ts_with_init_trans=bool(ts.get("WITH_INIT_TRANS", False)),
-        rot_type=rot.get("ROT_TYPE", "ego_rot6d"),
+        rot_type=rot_type,
         scale_type=rot.get("SCLAE_TYPE", "iter_add"),
         delta_t_space=rot.get("DELTA_T_SPACE", "image"),
         delta_t_weight=float(rot.get("DELTA_T_WEIGHT", 1.0)),
@@ -92,8 +119,8 @@ def model_config_from(cfg) -> CATREConfig:
         zero_center_input=bool(cfg.INPUT.get("ZERO_CENTER_INPUT", False)),
         refine_scale=bool(cfg.MODEL.get("REFINE_SCLAE", True)),
         dtype=jnp.bfloat16 if cfg.MODEL.get("BF16", False) else None,
-        fused_heads=bool(cfg.MODEL.get("FUSED_HEADS", False)),
-        fused_heads_train=bool(cfg.MODEL.get("FUSED_HEADS_TRAIN", False)),
+        fused_heads=_fused_ok(cfg.MODEL.get("FUSED_HEADS", False), rot_type),
+        fused_heads_train=_fused_ok(cfg.MODEL.get("FUSED_HEADS_TRAIN", False), rot_type),
         fused_encoder_epilogue=bool(cfg.MODEL.get("FUSED_ENCODER_EPILOGUE", True)),
     )
 

@@ -178,6 +178,97 @@ def allo_to_ego_mat(translation: jnp.ndarray, rot_allo: jnp.ndarray, eps: float 
     return rot_allo_to_ego @ rot_allo
 
 
+def qexp(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Quaternion exponential exp(q) for log-quaternion rot reps.
+
+    Matches reference `core/utils/quaternion_lf.py:294-318` (latentfusion):
+    accepts (B, 3) — pure-imaginary log quat, s=0 — or (B, 4) = (s; v).
+    Returns (B, 4) wxyz, magnitude exp(s).
+    """
+    if q.shape[-1] == 4:
+        s, v = q[..., :1], q[..., 1:]
+    else:
+        s = jnp.zeros_like(q[..., :1])
+        v = q
+    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    w = jnp.cos(theta)
+    xyz = jnp.sin(theta) / jnp.maximum(theta, eps) * v
+    return jnp.exp(s) * jnp.concatenate([w, xyz], axis=-1)
+
+
+def lie_vec_to_mat(vec: jnp.ndarray) -> jnp.ndarray:
+    """so(3) vector (axis-angle, Rodrigues) -> rotation matrix.
+
+    Matches reference `core/utils/lie_algebra.py:7-78` (lie_vec_to_rot, a
+    kornia/ceres port): exact Rodrigues for theta^2 > 1e-6, first-order
+    Taylor (I + [v]_x) below. Branch-free via jnp.where so it jits and
+    differentiates cleanly.
+
+    Args:
+      vec: (..., 3)
+    """
+    theta2 = jnp.sum(jnp.square(vec), axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    # exact branch (ref :26-47): axis = vec / (theta + 1e-6)
+    R_exact = axangle_to_mat(vec / (theta[..., None] + 1e-6), theta, is_normalized=True)
+    # taylor branch (ref :49-53): I + skew(vec)
+    rx, ry, rz = vec[..., 0], vec[..., 1], vec[..., 2]
+    one = jnp.ones_like(rx)
+    R_taylor = jnp.stack(
+        [one, -rz, ry, rz, one, -rx, -ry, rx, one], axis=-1
+    ).reshape(vec.shape[:-1] + (3, 3))
+    mask = (theta2 > 1e-6)[..., None, None]
+    return jnp.where(mask, R_exact, R_taylor)
+
+
+def mat_to_lie_vec(mat: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> so(3) vector. Ref `lie_algebra.py:80-99`
+    (matrix -> quaternion -> axis-angle). Used for tests/labels only."""
+    q = mat_to_quat(mat)
+    w, v = q[..., 0], q[..., 1:]
+    sin_half = jnp.linalg.norm(v, axis=-1)
+    half = jnp.arctan2(sin_half, w)
+    k = jnp.where(sin_half > 1e-8, 2.0 * half / jnp.maximum(sin_half, 1e-12), 2.0)
+    return v * k[..., None]
+
+
+ROT_DIMS = {
+    "allo_quat": 4, "ego_quat": 4,
+    "allo_log_quat": 3, "ego_log_quat": 3,
+    "allo_lie_vec": 3, "ego_lie_vec": 3,
+    "allo_rot6d": 6, "ego_rot6d": 6,
+}
+
+
+def get_rot_dim(rot_type: str) -> int:
+    """Width of the network rot output per rot_type.
+    Ref `core/catre/models/model_utils.py:11-25`."""
+    try:
+        return ROT_DIMS[rot_type]
+    except KeyError:
+        raise ValueError(f"Unknown rot_type: {rot_type}") from None
+
+
+def rot_rep_to_mat(rot: jnp.ndarray, rot_type: str) -> jnp.ndarray:
+    """Predicted rotation rep -> rotation matrix, dispatched on ROT_TYPE.
+
+    Ref `core/catre/models/model_utils.py:28-40` (get_rot_mat):
+      {ego|allo}_quat      (B, 4) wxyz       -> quat_to_mat
+      {ego|allo}_log_quat  (B, 3|4) log quat -> qexp then quat_to_mat
+      {ego|allo}_lie_vec   (B, 3) so(3)      -> lie_vec_to_mat
+      {ego|allo}_rot6d     (B, 6)            -> rot6d_to_mat
+    """
+    if rot_type in ("ego_quat", "allo_quat"):
+        return quat_to_mat(rot)
+    if rot_type in ("ego_log_quat", "allo_log_quat"):
+        return quat_to_mat(qexp(rot))
+    if rot_type in ("ego_lie_vec", "allo_lie_vec"):
+        return lie_vec_to_mat(rot)
+    if rot_type in ("ego_rot6d", "allo_rot6d"):
+        return rot6d_to_mat(rot)
+    raise ValueError(f"Wrong pred_rot type: {rot_type}")
+
+
 def rot_from_axangle_chain(ax_angles) -> jnp.ndarray:
     """Compose rotations from a chain of (ax, ay, az, angle_frac_of_pi).
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..geom.rotations import rot6d_to_mat
+from ..geom.rotations import get_rot_dim, rot_rep_to_mat
 from ..geom.transforms import transform_normed_pts
 from .compose import pose_scale_from_delta_init
 from .heads import ConvOutPerRotHead, FCTransSizeHead
@@ -44,7 +44,7 @@ class CATREConfig:
     ts_with_kps_feature: bool = False
     ts_with_init_scale: bool = True
     ts_with_init_trans: bool = False
-    rot_type: str = "ego_rot6d"          # {ego|allo}_rot6d
+    rot_type: str = "ego_rot6d"          # {ego|allo}_{rot6d|quat|log_quat|lie_vec}
     scale_type: str = "iter_add"         # {iter|mean}_{add|mul}
     delta_t_space: str = "image"         # image | 3D
     delta_t_weight: float = 1.0
@@ -62,6 +62,15 @@ class CATREConfig:
     @property
     def is_allo(self) -> bool:
         return "allo" in self.rot_type
+
+    @property
+    def rot_out_dim(self) -> int:
+        """Total predicted-rotation width (ref model_utils.py:11-25)."""
+        return get_rot_dim(self.rot_type)
+
+    @property
+    def is_rot6d(self) -> bool:
+        return self.rot_type.endswith("rot6d")
 
 
 class CATREDisRShared(nn.Module):
@@ -130,11 +139,13 @@ class CATREDisRShared(nn.Module):
         # rot head consumes per-point features of both clouds concatenated
         # along the POINT axis (ref `CATRE_disR_shared.py:86`), in factored form.
         point_feats = jnp.concatenate([pcl_pf, kps_pf], axis=1)  # (B, P+K, 64)
+        d = cfg.rot_out_dim
         rot_deltas6 = ConvOutPerRotHead(
             in_global=cfg.pclnet_out_dim,
             feat_dim=cfg.rot_feat_dim,
             num_layers=cfg.rot_num_layers,
-            rot_dim=3,
+            rot_dim=(d + 1) // 2,
+            rot_dim_y=d // 2,
             num_gn_groups=cfg.rot_num_gn_groups,
             num_points=cfg.num_pcl + cfg.num_kps,
             dtype=cfg.dtype,
@@ -322,11 +333,12 @@ def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
     if cfg.dtype is not None:
         x = x.astype(cfg.dtype)
         tfd_kps = tfd_kps.astype(cfg.dtype)
-    if cfg.fused_heads_train:
+    # the fused Pallas rot-head kernels hard-code the shipped 3+3 rot6d neck
+    if cfg.fused_heads_train and cfg.is_rot6d:
         rot_deltas6, trans_deltas, scale_deltas = delta_forward_fused_train(
             cfg, params, x, tfd_kps, scale_est, pose_est[:, :3, 3]
         )
-    elif cfg.fused_heads:
+    elif cfg.fused_heads and cfg.is_rot6d:
         rot_deltas6, trans_deltas, scale_deltas = delta_forward_fused(
             cfg, params, x, tfd_kps, scale_est, pose_est[:, :3, 3]
         )
@@ -334,7 +346,7 @@ def refine_forward(model: CATREDisRShared, params, cfg: CATREConfig,
         rot_deltas6, trans_deltas, scale_deltas = model.apply(
             {"params": params}, x, tfd_kps, scale_est, pose_est[:, :3, 3]
         )
-    rot_m_deltas = rot6d_to_mat(rot_deltas6)
+    rot_m_deltas = rot_rep_to_mat(rot_deltas6, cfg.rot_type)
     scale_inits = scale_est if "iter" in cfg.scale_type else mean_scales
     pred_rot, pred_trans, pred_scale = pose_scale_from_delta_init(
         rot_deltas=rot_m_deltas,

@@ -127,10 +127,18 @@ class RotHead(nn.Module):
 
 
 class ConvOutPerRotHead(nn.Module):
-    """Two independent RotHeads (x axis, y axis); outputs concatenated 6D.
+    """Two independent RotHeads (x axis, y axis); outputs concatenated.
 
     Ref `conv_out_per_rot_head.py:10-71`; shipped cfg in_dim=1088,
-    num_points=2048, rot_dim=3 (`configs/...120e.py:87-100`).
+    num_points=2048, rot_dim=3 per sub-head -> 6D total
+    (`configs/...120e.py:87-100`).
+
+    `rot_dim` is the per-sub-head width as in the reference INIT_CFG
+    (total output = rot_dim_x + rot_dim_y). For even total widths the two
+    sub-heads are symmetric like the reference (rot6d: 3+3, quat: 2+2);
+    odd widths (log_quat/lie_vec: 3 = 2+1) split ceil/floor — a
+    generalization the reference head cannot express (its total is always
+    even), kept so every ROT_TYPE in `model_utils.py:11-25` is reachable.
     """
 
     in_global: int = 1024
@@ -138,6 +146,7 @@ class ConvOutPerRotHead(nn.Module):
     feat_dim: int = 256
     num_layers: int = 2
     rot_dim: int = 3
+    rot_dim_y: int | None = None  # defaults to rot_dim (symmetric heads)
     num_gn_groups: int = 32
     num_points: int = 2048
     dtype: jnp.dtype | None = None
@@ -149,14 +158,16 @@ class ConvOutPerRotHead(nn.Module):
             in_point=self.in_point,
             feat_dim=self.feat_dim,
             num_layers=self.num_layers,
-            rot_dim=self.rot_dim,
             num_gn_groups=self.num_gn_groups,
             num_points=self.num_points,
             dtype=self.dtype,
         )
-        rx = RotHead(**kw, name="rot_head_x")(point_feats, g_pcl, g_kps, n_pcl)
-        ry = RotHead(**kw, name="rot_head_y")(point_feats, g_pcl, g_kps, n_pcl)
-        return jnp.concatenate([rx, ry], axis=1)  # (B, 2*rot_dim)
+        dim_y = self.rot_dim if self.rot_dim_y is None else self.rot_dim_y
+        rx = RotHead(**kw, rot_dim=self.rot_dim, name="rot_head_x")(
+            point_feats, g_pcl, g_kps, n_pcl)
+        ry = RotHead(**kw, rot_dim=dim_y, name="rot_head_y")(
+            point_feats, g_pcl, g_kps, n_pcl)
+        return jnp.concatenate([rx, ry], axis=1)  # (B, rot_dim + rot_dim_y)
 
 
 class FCTransSizeHead(nn.Module):
