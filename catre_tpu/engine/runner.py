@@ -350,6 +350,7 @@ def do_train(cfg, resume: bool = False) -> None:
         storage.put_scalar("lr", lr)
         if (iteration + 1) % print_freq == 0 or iteration == max_iter - 1:
             m = jax.device_get(metrics)
+            vis = m.pop("_vis", None)
             bad = int(jax.device_get(bad_iter))
             if bad >= 0:
                 raise FloatingPointError(
@@ -360,6 +361,14 @@ def do_train(cfg, resume: bool = False) -> None:
                 for k, v in m.items():
                     storage.put_scalar(f"iter{i}/{k}", float(np.asarray(v)[i]))
             storage.put_scalar("loss_total", float(np.asarray(m["loss_total"])[-1]))
+            # train-time image vis (TRAIN.VIS_IMG, ref engine.py:370-422):
+            # input image + gt/est projected keypoints to tensorboard
+            if (cfg.TRAIN.get("VIS_IMG", False) and vis is not None
+                    and comm.is_main_process() and world == 1):
+                try:
+                    _log_train_vis(storage, batch_np, batch, vis)
+                except Exception as e:  # vis must never kill training
+                    logger.warning("train vis failed: %s", e)
             for w in writers:
                 w.write(storage)
 
@@ -472,13 +481,59 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
     return results_all
 
 
+def _log_train_vis(storage, batch_np: dict, batch: dict, vis: dict) -> None:
+    """Queue the reference's three TRAIN.VIS_IMG tensorboard images
+    (ref engine.py:370-422): input image, gt-keypoint overlay (red dots,
+    kps * gt_scale under the augmented gt pose) and est-keypoint overlay
+    (final refine iteration's pose/scale)."""
+    import cv2
+
+    from ..utils.vis import draw_projected_kps
+
+    valid = np.asarray(vis["valid"])
+    if not valid.any():
+        return
+    idx = int(np.argmax(valid))
+    im_id = int(batch_np["im_id"][idx]) if "im_id" in batch_np else 0
+    file_names = batch_np.get("file_names", [])
+    img = None
+    if im_id < len(file_names) and file_names[im_id]:
+        bgr = cv2.imread(file_names[im_id], cv2.IMREAD_COLOR)
+        if bgr is not None:
+            img = np.ascontiguousarray(bgr[:, :, ::-1])  # RGB
+    if img is None:
+        img = np.zeros((480, 640, 3), dtype=np.uint8)
+
+    kps = np.asarray(jax.device_get(batch["obj_kps"][idx]))
+    K = np.asarray(jax.device_get(batch["K"][idx]))
+    gt_pose = np.asarray(vis["gt_pose"][idx])[:3, :4]
+    gt_scale = np.asarray(vis["gt_scale"][idx])
+    est_pose = np.asarray(vis["pose"][-1, idx])[:3, :4]
+    est_scale = np.asarray(vis["scale"][-1, idx])
+
+    storage.put_image("input_image", img)
+    storage.put_image(
+        "image_with_gt_kps",
+        draw_projected_kps(img, kps, gt_scale, gt_pose, K, color=(255, 0, 0)))
+    storage.put_image(
+        "image_with_est_kps",
+        draw_projected_kps(img, kps, est_scale, est_pose, K, color=(255, 0, 0)))
+
+
 def _save_visualizations(dicts: list, evaluator: CATREEvaluator, output_dir: str,
                          n_images: int = 5) -> None:
-    """TEST.VIS debug path: depth heatmap with projected 3D boxes for the
-    initial (iter0, yellow) and final (green) estimates plus gt (blue) —
-    analogue of the reference's vis in `catre_evaluator.py:652-673`."""
+    """TEST.VIS debug path, analogue of the reference's save-results vis
+    (`catre_evaluator.py:595-679`):
+      - `<sid>.png`: one overlay with gt (blue-ish red channel swap kept from
+        r1), init (yellow) and final (green) boxes on the depth heatmap;
+      - `<sid>_iters.png`: a grid with ONE PANEL PER REFINE ITERATION, each
+        showing gt (blue) + init (red) + that iteration's estimate (green)
+        boxes — the reference's `zoom_im_init_refine_{i}` panels — drawn on
+        the RGB image when readable, else the depth heatmap."""
+    import cv2
+
     from ..data.loader import load_depth
-    from ..utils.vis import draw_projected_box3d, heatmap
+    from ..utils.vis import draw_projected_box3d, grid_show, heatmap
 
     vis_dir = osp.join(output_dir, "vis")
     os.makedirs(vis_dir, exist_ok=True)
@@ -501,9 +556,33 @@ def _save_visualizations(dicts: list, evaluator: CATREEvaluator, output_dir: str
             pred = evaluator._preds[it][sid]
             for RT, s in zip(pred["pred_RTs"], pred["pred_scales"]):
                 img = draw_projected_box3d(img, s, RT[:3], K, color=color)
-        import cv2
-
         cv2.imwrite(osp.join(vis_dir, sid.replace("/", "_") + ".png"), img)
+
+        # per-iteration panels (ref catre_evaluator.py:633-679)
+        base = None
+        if rec.get("file_name"):
+            bgr = cv2.imread(rec["file_name"], cv2.IMREAD_COLOR)
+            if bgr is not None:
+                base = np.ascontiguousarray(bgr[:, :, ::-1])
+        if base is None:
+            base = heatmap(depth, to_rgb=True)
+        panels, titles = [], []
+        init = evaluator._preds[0][sid]
+        for it in range(1, final_iter + 1):
+            panel = base.copy()
+            for RT, s in zip(gt.get("gt_RTs", []), gt.get("gt_scales", [])):
+                panel = draw_projected_box3d(panel, s, RT[:3], K, color=(0, 0, 255))
+            for RT, s in zip(init["pred_RTs"], init["pred_scales"]):
+                panel = draw_projected_box3d(panel, s, RT[:3], K, color=(255, 0, 0))
+            pred = evaluator._preds[it][sid]
+            for RT, s in zip(pred["pred_RTs"], pred["pred_scales"]):
+                panel = draw_projected_box3d(panel, s, RT[:3], K, color=(0, 255, 0))
+            panels.append(panel)
+            titles.append(f"im_init_refine_{it}")
+        ncol = min(3, len(panels))
+        nrow = int(np.ceil(len(panels) / ncol))
+        grid_show(panels, titles, row=nrow, col=ncol,
+                  save_path=osp.join(vis_dir, sid.replace("/", "_") + "_iters.png"))
         done += 1
         if done >= n_images:
             break

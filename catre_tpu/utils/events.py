@@ -25,6 +25,7 @@ class EventStorage:
         self._window = window
         self._history: dict = defaultdict(lambda: deque(maxlen=window))
         self._latest: dict = {}
+        self._images: list = []
 
     def put_scalar(self, name: str, value) -> None:
         v = float(value)
@@ -34,6 +35,15 @@ class EventStorage:
     def put_scalars(self, **kwargs) -> None:
         for k, v in kwargs.items():
             self.put_scalar(k, v)
+
+    def put_image(self, name: str, img) -> None:
+        """Queue an HWC uint8 RGB image for the next TB write (detectron2
+        EventStorage.put_image; ref engine.py:381 tbx_writer.add_image)."""
+        self._images.append((name, img, self.iter))
+
+    def pop_images(self) -> list:
+        out, self._images = self._images, []
+        return out
 
     def latest(self) -> dict:
         return dict(self._latest)
@@ -102,9 +112,12 @@ class TensorboardWriter:
 
     def write(self, storage: EventStorage) -> None:
         if self._writer is None:
+            storage.pop_images()  # drop queued images; keep memory bounded
             return
         for k, (v, it) in storage.latest().items():
             self._writer.add_scalar(k, v, it)
+        for name, img, it in storage.pop_images():
+            self._writer.add_image(name, img, it, dataformats="HWC")
 
     def close(self) -> None:
         if self._writer is not None:

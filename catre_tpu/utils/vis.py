@@ -39,6 +39,31 @@ def draw_projected_box3d(image: np.ndarray, scale: np.ndarray, pose: np.ndarray,
     return img
 
 
+def draw_projected_kps(image: np.ndarray, kps: np.ndarray, scale: np.ndarray,
+                       pose: np.ndarray, K: np.ndarray, color=(0, 0, 255),
+                       radius: int = 0, thickness: int = 2) -> np.ndarray:
+    """Draw normalized keypoints (kps * scale, transformed by pose) as dots.
+
+    Train-time vis analogue of ref `engine.py:388-422` (cv2.circle over
+    misc.project_pts of kpts_3d * scale).
+    """
+    import cv2
+
+    import jax.numpy as jnp
+
+    pts = kps.astype(np.float32) * scale.astype(np.float32)[None]
+    uv = np.asarray(project_pts(jnp.asarray(pts),
+                                jnp.asarray(K.astype(np.float32)),
+                                jnp.asarray(pose[:, :3].astype(np.float32)),
+                                jnp.asarray(pose[:, 3].astype(np.float32))))
+    img = np.ascontiguousarray(image)
+    h, w = img.shape[:2]
+    for u, v in uv.round().astype(int):
+        if 0 <= u < w and 0 <= v < h:
+            cv2.circle(img, (int(u), int(v)), radius, color, thickness)
+    return img
+
+
 def heatmap(data: np.ndarray, to_rgb: bool = False) -> np.ndarray:
     """Normalize a scalar map to a JET colormap image."""
     import cv2

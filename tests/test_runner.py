@@ -84,6 +84,29 @@ def test_eval_with_fused_heads(tmp_path, fake_real_root):  # noqa: F811
     assert np.isfinite(list(res[0]["summary"].values())).all()
 
 
+def test_train_and_test_vis(tmp_path, fake_real_root):  # noqa: F811
+    """TRAIN.VIS_IMG logs the reference's three keypoint images to tb
+    (ref engine.py:370-422); TEST.VIS writes per-refine-iteration box-overlay
+    grids (ref catre_evaluator.py:633-679)."""
+    import glob
+
+    cfg = _small_cfg(tmp_path, fake_real_root)
+    apply_overrides(cfg, ["SOLVER.TOTAL_EPOCHS=1", "TRAIN.VIS_IMG=True",
+                          "TEST.VIS=True"])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out_vis")
+    do_train(cfg, resume=False)
+
+    from tensorboard.backend.event_processing import event_accumulator
+
+    ea = event_accumulator.EventAccumulator(osp.join(cfg.OUTPUT_DIR, "tb"))
+    ea.Reload()
+    tags = set(ea.Tags().get("images", []))
+    assert {"input_image", "image_with_gt_kps", "image_with_est_kps"} <= tags
+
+    do_test(cfg)
+    assert glob.glob(osp.join(cfg.OUTPUT_DIR, "vis", "*_iters.png"))
+
+
 def test_train_profile_iters(tmp_path, fake_real_root):  # noqa: F811
     """TRAIN.PROFILE_ITERS captures a jax.profiler trace into OUTPUT_DIR."""
     import os
