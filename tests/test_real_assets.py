@@ -1,0 +1,207 @@
+"""Guarded real-checkpoint / real-data parity harness (VERDICT r1 item 4).
+
+These tests SKIP cleanly unless the released CATRE checkpoint and/or real
+REAL275 frames are present (they ship out-of-band; see docs/DATA.md
+"Released checkpoint parity harness" and `python -m catre_tpu.tools.fetch_assets`).
+
+Asset locations (first match wins):
+  checkpoint: $CATRE_REAL_CKPT, else
+              <CATRE_DATA_ROOT>/checkpoints/model_final_wo_optim-82cf930e.pth
+  frames:     <CATRE_DATA_ROOT>/NOCS/REAL/real_test/... (+ real_test_list_all.txt)
+  recorded:   $CATRE_RECORDED_PKL — optional pickle of reference predictions
+              {scene_im_id: {"pose_4": (n,3,4), "scale_4": (n,3)}} for direct
+              released-run comparison (README.md:42-46 regeneration).
+"""
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+DATA_ROOT = os.environ.get("CATRE_DATA_ROOT", "datasets")
+CKPT_PATH = os.environ.get(
+    "CATRE_REAL_CKPT",
+    osp.join(DATA_ROOT, "checkpoints", "model_final_wo_optim-82cf930e.pth"),
+)
+REAL_ROOT = osp.join(DATA_ROOT, "NOCS", "REAL")
+LIST_FILE = osp.join(REAL_ROOT, "real_test_list_all.txt")
+
+have_ckpt = osp.isfile(CKPT_PATH)
+have_frames = False
+if osp.isfile(LIST_FILE):
+    with open(LIST_FILE) as f:
+        first = f.readline().strip()
+    have_frames = bool(first) and osp.isfile(
+        osp.join(REAL_ROOT, first + "_depth.png"))
+
+needs_ckpt = pytest.mark.skipif(
+    not have_ckpt, reason=f"released checkpoint not found at {CKPT_PATH} "
+    "(see docs/DATA.md / catre_tpu.tools.fetch_assets)")
+needs_frames = pytest.mark.skipif(
+    not have_frames, reason=f"no REAL275 test frames under {REAL_ROOT}")
+
+
+def _load_real_params():
+    from catre_tpu.utils.checkpoint import load_torch_checkpoint
+
+    return load_torch_checkpoint(CKPT_PATH)
+
+
+def _first_frame_batch(num_pcl=1024, seed=0):
+    """Loader-built test batch for the first listed REAL275 frame, with a
+    deterministic gt-perturbation init (no external init json needed)."""
+    from catre_tpu.data.loader import CATRELoader, LoaderConfig
+    from catre_tpu.data.nocs import NOCSDataset
+
+    ds = NOCSDataset("nocs_test_real", image_root=REAL_ROOT, use_cache=False)
+    dicts = [r for r in ds() if r.get("annotations")][:1]
+    assert dicts, "no annotated frames"
+    rng = np.random.default_rng(seed)
+    for rec in dicts:
+        for anno in rec["annotations"]:
+            pose = np.asarray(anno["pose"], np.float32)
+            p = pose.copy()
+            p[:, 3] += rng.normal(0, 0.01, 3).astype(np.float32)
+            anno["pose_est"] = p
+            anno["scale_est"] = np.asarray(anno["scale"], np.float32) * 1.05
+    cfg = LoaderConfig(num_pcl=num_pcl, aug_depth=False)
+    loader = CATRELoader(dicts, cfg, phase="test", ims_per_batch=1)
+    batch = next(iter(loader))
+    assert not batch.get("empty")
+    return batch
+
+
+@needs_ckpt
+def test_released_ckpt_converts():
+    """The released .pth converts to a param tree bit-identical in structure
+    to a fresh init (shapes + paths)."""
+    from catre_tpu.models import CATREConfig, CATREDisRShared, init_params
+
+    params = _load_real_params()
+    cfg = CATREConfig()
+    ours = init_params(CATREDisRShared(cfg), cfg, jax.random.PRNGKey(0))
+    flat_c = {jax.tree_util.keystr(p): np.asarray(v).shape
+              for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_i = {jax.tree_util.keystr(p): np.asarray(v).shape
+              for p, v in jax.tree_util.tree_flatten_with_path(ours)[0]}
+    assert flat_c == flat_i
+
+
+@needs_ckpt
+def test_released_ckpt_torch_jax_parity():
+    """The released weights loaded into the in-repo torch mirror and into the
+    flax model produce matching deltas on identical inputs (real-weights
+    extension of tests/test_model_parity.py)."""
+    import torch
+
+    from torch_mirror import TorchCATRE
+
+    sd = torch.load(CKPT_PATH, map_location="cpu")
+    sd = sd.get("model", sd)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    tm = TorchCATRE().eval()
+    tm.load_state_dict(sd)
+    params = _load_real_params()
+
+    from catre_tpu.models import CATREConfig, CATREDisRShared
+
+    rng = np.random.default_rng(1)
+    B = 2
+    x = (rng.normal(size=(B, 1024, 3)) * 0.15).astype(np.float32)
+    kps = (rng.normal(size=(B, 1024, 3)) * 0.1).astype(np.float32)
+    s = rng.uniform(0.05, 0.4, size=(B, 3)).astype(np.float32)
+    with torch.no_grad():
+        rot_ref, trans_ref, scale_ref = tm(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(kps.transpose(0, 2, 1)), torch.from_numpy(s))
+    model = CATREDisRShared(CATREConfig())
+    rot, trans, scale = model.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(kps), jnp.asarray(s),
+        jnp.zeros((B, 3)))
+    np.testing.assert_allclose(np.asarray(rot), rot_ref.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(trans), trans_ref.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(scale), scale_ref.numpy(), atol=2e-4)
+
+
+@needs_ckpt
+@needs_frames
+def test_released_ckpt_refines_real_frame():
+    """End-to-end on one REAL275 frame: convert -> loader -> 4-iter refine.
+    The released weights must IMPROVE the perturbed-gt init (re/te shrink)."""
+    from catre_tpu.data.kps import select_kps
+    from catre_tpu.engine.refiner import make_refine_fn
+    from catre_tpu.models import CATREConfig, CATREDisRShared
+
+    params = _load_real_params()
+    cfg = CATREConfig()
+    model = CATREDisRShared(cfg)
+    refine = make_refine_fn(model, cfg, n_iter=4)
+    batch = _first_frame_batch()
+    obj_kps = select_kps("mean_shape",
+                         mean_points=jnp.asarray(batch["obj_mean_points"]),
+                         scale_est=jnp.asarray(batch["obj_scale_est"]),
+                         num_kps=1024)
+    poses, scales = refine(
+        params, jnp.asarray(batch["pcl"]), obj_kps,
+        jnp.asarray(batch["obj_pose_est"]), jnp.asarray(batch["obj_scale_est"]),
+        jnp.asarray(batch["K"]), jnp.asarray(batch["obj_mean_scales"]))
+    poses = np.asarray(poses)
+    valid = np.asarray(batch["valid"])
+    assert np.isfinite(poses[:, valid]).all()
+
+    gt_R = np.asarray(batch["obj_pose"])[valid, :3, :3]
+    gt_t = np.asarray(batch["obj_pose"])[valid, :3, 3]
+
+    def mean_te(p):
+        return float(np.linalg.norm(p[valid, :3, 3] - gt_t, axis=-1).mean())
+
+    te0 = mean_te(np.asarray(batch["obj_pose_est"]))
+    te4 = mean_te(poses[4])
+    assert te4 <= te0 + 1e-4, (te0, te4)
+
+
+@needs_ckpt
+@needs_frames
+@pytest.mark.skipif("CATRE_RECORDED_PKL" not in os.environ,
+                    reason="no recorded reference predictions (CATRE_RECORDED_PKL)")
+def test_released_ckpt_matches_recorded_outputs():
+    """Direct comparison against predictions recorded from the reference run
+    (README.md:42-46): final-iteration poses within 1e-3 m / 0.5 deg."""
+    with open(os.environ["CATRE_RECORDED_PKL"], "rb") as f:
+        recorded = pickle.load(f)
+    from catre_tpu.data.kps import select_kps
+    from catre_tpu.engine.refiner import make_refine_fn
+    from catre_tpu.models import CATREConfig, CATREDisRShared
+
+    params = _load_real_params()
+    cfg = CATREConfig()
+    refine = make_refine_fn(CATREDisRShared(cfg), cfg, n_iter=4)
+    batch = _first_frame_batch()
+    sid = batch["scene_im_ids"][0]
+    assert sid in recorded, f"{sid} not in recorded predictions"
+    rec = recorded[sid]
+    # recorded runs used the reference's init; feed the SAME init poses
+    n = len(rec["pose_0"])
+    init_pose = np.asarray(batch["obj_pose_est"]).copy()
+    init_scale = np.asarray(batch["obj_scale_est"]).copy()
+    init_pose[:n] = np.asarray(rec["pose_0"], np.float32)[:, :3, :4]
+    init_scale[:n] = np.asarray(rec["scale_0"], np.float32)
+    obj_kps = select_kps("mean_shape",
+                         mean_points=jnp.asarray(batch["obj_mean_points"]),
+                         scale_est=jnp.asarray(init_scale), num_kps=1024)
+    poses, scales = refine(
+        params, jnp.asarray(batch["pcl"]), obj_kps,
+        jnp.asarray(init_pose), jnp.asarray(init_scale),
+        jnp.asarray(batch["K"]), jnp.asarray(batch["obj_mean_scales"]))
+    got = np.asarray(poses)[4][:n]
+    want = np.asarray(rec["pose_4"], np.float32)[:, :3, :4]
+    np.testing.assert_allclose(got[:, :3, 3], want[:, :3, 3], atol=1e-3)
+    tr = np.einsum("bij,bij->b", got[:, :3, :3], want[:, :3, :3])
+    deg = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+    assert (deg < 0.5).all(), deg
