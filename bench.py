@@ -16,6 +16,130 @@ import numpy as np
 
 BASELINE_OBJ_PER_SEC_PER_CHIP = 50_000 / 8.0
 
+# asset pickles (mean shapes) ship with the reference checkout; needed by the
+# pipeline-level bench's data loader (same default as tests/conftest.py)
+if "CATRE_DATA_ROOT" not in os.environ and os.path.isdir("/root/reference/datasets"):
+    os.environ["CATRE_DATA_ROOT"] = "/root/reference/datasets"
+
+
+def _write_synthetic_frames(root: str, n_frames: int, n_objs: int = 8):
+    """On-disk synthetic REAL275-like frames: n_objs fronto-parallel plates
+    per 640x480 uint16 depth png, annotations in dataset-dict format with
+    external-style init estimates (BASELINE configs 2-4 shape: backproject +
+    ball-crop + refine from disk)."""
+    import cv2
+
+    from catre_tpu.data import meta
+
+    h, w = meta.IM_HEIGHT, meta.IM_WIDTH
+    K = np.asarray(meta.REAL_INTRINSICS, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    grid = [(r, c) for r in range(2) for c in range(4)][:n_objs]
+    records = []
+    for f in range(n_frames):
+        depth = np.zeros((h, w), dtype=np.uint16)
+        annos = []
+        for i, (r, c) in enumerate(grid):
+            cy, cx = 120 + 240 * r, 80 + 160 * c
+            z = float(rng.uniform(0.8, 1.2))
+            half = 30
+            depth[cy - half:cy + half, cx - half:cx + half] = int(z * 1000)
+            t = np.array([(cx - K[0, 2]) / K[0, 0] * z,
+                          (cy - K[1, 2]) / K[1, 1] * z, z], np.float32)
+            pose = np.concatenate([np.eye(3, dtype=np.float32), t[:, None]], axis=1)
+            scale = rng.uniform(0.15, 0.3, 3).astype(np.float32)
+            pose_est = pose.copy()
+            pose_est[:, 3] += rng.normal(0, 0.01, 3).astype(np.float32)
+            annos.append({
+                "category_id": i % 6,
+                "pose": pose, "scale": scale,
+                "pose_est": pose_est, "scale_est": scale * 1.05,
+                "bbox": [cx - half, cy - half, cx + half, cy + half],
+                "bbox_est": [cx - half, cy - half, cx + half, cy + half],
+                "score": 1.0, "mug_handle": 1,
+            })
+        path = os.path.join(root, f"{f:04d}_depth.png")
+        cv2.imwrite(path, depth)
+        records.append({
+            "scene_im_id": f"bench/{f:04d}", "depth_file": path,
+            "height": h, "width": w, "cam": K,
+            "annotations": annos, "gt_annotations": annos,
+        })
+    return records
+
+
+def bench_pipeline(n_frames: int = 96, ims_per_batch: int = 32, n_iter: int = 4):
+    """End-to-end pipeline rate from on-disk frames: host decode + device
+    ball-crop + 4-iter fused refine + evaluator bookkeeping. Pass 1 compiles
+    and warms the loader; pass 2 is timed. Returns the JSON record."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from catre_tpu.data.loader import CATRELoader, LoaderConfig
+    from catre_tpu.engine.refiner import make_refine_fn
+    from catre_tpu.eval.evaluator import CATREEvaluator, run_inference
+    from catre_tpu.models import CATREConfig, CATREDisRShared, init_params
+
+    root = tempfile.mkdtemp(prefix="catre_bench_")
+    try:
+        n_frames = int(os.environ.get("BENCH_PIPE_FRAMES", n_frames))
+        n_objs = 8
+        records = _write_synthetic_frames(root, n_frames, n_objs)
+        num_pcl = int(os.environ.get("BENCH_PIPE_PCL", 1024))
+        lcfg = LoaderConfig(num_pcl=num_pcl, max_objs_per_image=n_objs,
+                            aug_depth=False)
+        # CPU smoke runs skip the Pallas kernels (interpret mode is slow)
+        on_tpu = jax.devices()[0].platform != "cpu"
+        mcfg = CATREConfig(num_pcl=num_pcl, dtype=jnp.bfloat16,
+                           fused_heads=on_tpu)
+        model = CATREDisRShared(mcfg)
+        params = init_params(model, mcfg, jax.random.PRNGKey(0))
+        refine = make_refine_fn(model, mcfg, n_iter=n_iter)
+
+        def one_pass(warmup):
+            loader = CATRELoader(records, lcfg, phase="test",
+                                 ims_per_batch=ims_per_batch, num_workers=4)
+            evaluator = CATREEvaluator(records, n_iters=n_iter, output_dir=None)
+            t0 = time.perf_counter()
+            stats = run_inference(refine, params, iter(loader), evaluator,
+                                  n_iters=n_iter, warmup=warmup)
+            return stats, time.perf_counter() - t0
+
+        one_pass(warmup=1)  # compile + warm
+        stats, wall = one_pass(warmup=0)
+        img_per_s = n_frames / wall
+        obj_per_s = img_per_s * n_objs
+
+        # loader-only rate: how fast the input pipeline alone sustains
+        # (decode + device ball-crop, no refine)
+        loader = CATRELoader(records, lcfg, phase="test",
+                             ims_per_batch=ims_per_batch, num_workers=4)
+        t0 = time.perf_counter()
+        n_rows = 0
+        for b in loader:
+            if not b.get("empty"):
+                n_rows += int(np.asarray(b["valid"]).sum())
+        loader_wall = time.perf_counter() - t0
+        detail = {
+            "images_per_s": round(img_per_s, 1),
+            "loader_img_per_s": round(n_frames / loader_wall, 1),
+            "compute_s_per_img": round(stats["compute_s_per_img"], 5),
+            "process_s_per_img": round(stats["process_s_per_img"], 5),
+            "ims_per_batch": ims_per_batch,
+        }
+        print(json.dumps({"pipeline_detail": detail}), file=sys.stderr)
+        return {
+            "metric": "pipeline objects/sec/chip (disk->decode->ball-crop->4-iter refine->eval)",
+            "value": round(obj_per_s, 1),
+            "unit": "obj/s/chip",
+            "vs_baseline": round(obj_per_s / BASELINE_OBJ_PER_SEC_PER_CHIP, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 def main():
     import jax
@@ -129,6 +253,14 @@ def main():
         )
     )
     print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()}}), file=sys.stderr)
+
+    # second JSON line: pipeline-level rate (disk -> host decode -> device
+    # ball-crop -> refine -> evaluator), VERDICT r1 item 3 / BASELINE cfgs 2-4
+    if not os.environ.get("BENCH_SKIP_PIPELINE", ""):
+        try:
+            print(json.dumps(bench_pipeline()))
+        except Exception as e:
+            print(f"pipeline bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

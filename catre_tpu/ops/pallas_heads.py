@@ -122,6 +122,10 @@ def _group_norm_rows(x, scale, bias, num_groups=32, eps=1e-5):
     # back to channel vectors: (2, G) @ (G, C) in one matmul
     mi_g = jnp.concatenate([mean_g, inv_g], axis=0)
     mi_c = jnp.dot(mi_g, M.T, preferred_element_type=jnp.float32)
+    # NOTE: folding normalize+affine into x*(inv*scale) + (bias - mean*inv*
+    # scale) — algebraically 1 FMA instead of 4 ops — measured 1.8x SLOWER
+    # e2e (6435 -> 3565 obj/s): Mosaic vectorizes this chained sub/mul form
+    # better than the row-broadcast FMA (docs/PERF.md lever notes)
     return (x - mi_c[0:1]) * mi_c[1:2] * scale + bias
 
 
