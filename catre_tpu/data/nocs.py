@@ -352,3 +352,84 @@ def register_default_splits() -> None:
             if name.endswith(f"_{obj}"):
                 objs = [obj]
         register_dataset(name, objs=objs)
+
+
+# -------------------------------------------------- visual test harness
+def _vis_main(argv=None) -> int:
+    """Dataset visual test harness (headless analogue of the reference's
+    `python -m core.catre.datasets.nocs <name>` — `datasets/nocs.py:479-550`):
+    for a few frames render img / mask+bbox overlay / projected-3D-box /
+    depth-heatmap panels and save them under --out.
+
+    Usage: python -m catre_tpu.data.nocs <dataset_name> [--num N] [--out DIR]
+    """
+    import argparse
+    import logging
+    import os
+    import os.path as osp
+
+    import numpy as np
+
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description="render dataset frames for manual inspection")
+    ap.add_argument("name", help="registered split, e.g. nocs_test_real")
+    ap.add_argument("--num", type=int, default=2)
+    ap.add_argument("--skip", type=int, default=0,
+                    help="frames to skip first (ref inspects dicts[178:180])")
+    ap.add_argument("--out", default="output/dataset_vis")
+    args = ap.parse_args(argv)
+
+    import cv2
+
+    from ..utils.vis import draw_projected_box3d, grid_show, heatmap
+    from .loader import load_depth, mask_from_annotation
+
+    register_default_splits()
+    dicts = get_dataset_dicts(args.name)
+    print(f"{args.name}: {len(dicts)} frames")
+    os.makedirs(args.out, exist_ok=True)
+    done = 0
+    for rec in dicts[args.skip:]:
+        if done >= args.num:
+            break
+        img = cv2.imread(rec.get("file_name", ""), cv2.IMREAD_COLOR)
+        if img is None:
+            img = np.zeros((rec["height"], rec["width"], 3), np.uint8)
+        try:
+            depth = load_depth(rec["depth_file"])
+        except (FileNotFoundError, KeyError):
+            depth = np.zeros((rec["height"], rec["width"]), np.float32)
+        vis = img.copy()
+        vis3d = img.copy()
+        K = np.asarray(rec["cam"])
+        for anno in rec.get("annotations", []):
+            mask = mask_from_annotation(anno, rec["height"], rec["width"])
+            tint = np.zeros_like(vis)
+            tint[mask] = (0, 180, 0)
+            vis = cv2.addWeighted(vis, 1.0, tint, 0.5, 0)
+            bb = anno.get("bbox")
+            if bb is not None:
+                x1, y1, x2, y2 = [int(round(v)) for v in bb]
+                cv2.rectangle(vis, (x1, y1), (x2, y2), (0, 0, 255), 2)
+                obj = meta.ID2OBJ.get(anno["category_id"] + 1, "?")
+                cv2.putText(vis, obj, (x1, max(y1 - 3, 10)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 255), 1)
+            if "pose" in anno:
+                vis3d = draw_projected_box3d(
+                    vis3d, np.asarray(anno["scale"]) if "scale" in anno else np.ones(3),
+                    np.asarray(anno["pose"]), K)
+        sid = rec["scene_im_id"].replace("/", "_")
+        grid_show(
+            [img[:, :, ::-1], vis[:, :, ::-1], vis3d[:, :, ::-1], heatmap(depth, to_rgb=True)],
+            ["img", "mask+bbox", "projected 3D box", "depth"],
+            row=2, col=2, save_path=osp.join(args.out, sid + ".png"),
+        )
+        print("wrote", osp.join(args.out, sid + ".png"))
+        done += 1
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_vis_main())

@@ -68,6 +68,19 @@ def test_rle_roundtrip():
     np.testing.assert_array_equal(rle_to_binary_mask(rle), m)
 
 
+def test_dataset_vis_harness(fake_real_root, tmp_path):
+    """`python -m catre_tpu.data.nocs <name>` visual harness (headless) —
+    analogue of the reference's dataset test_vis (`datasets/nocs.py:479-550`)."""
+    import catre_tpu.data.nocs as nocs_mod
+
+    nocs_mod._DATASET_REGISTRY["nocs_test_real"] = NOCSDataset(
+        "nocs_test_real", image_root=fake_real_root, use_cache=False)
+    out = tmp_path / "vis"
+    rc = nocs_mod._vis_main(["nocs_test_real", "--num", "1", "--out", str(out)])
+    assert rc == 0
+    assert list(out.glob("*.png"))
+
+
 def test_dataset_dicts(fake_real_root):
     ds = NOCSDataset("nocs_test_real", image_root=fake_real_root, use_cache=False)
     dicts = ds()
