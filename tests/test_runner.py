@@ -107,6 +107,39 @@ def test_train_and_test_vis(tmp_path, fake_real_root):  # noqa: F811
     assert glob.glob(osp.join(cfg.OUTPUT_DIR, "vis", "*_iters.png"))
 
 
+def test_save_results_and_cached_eval(tmp_path, fake_real_root):  # noqa: F811
+    """TEST.SAVE_RESULTS_ONLY dumps per-iteration results pkl; VAL.EVAL_CACHED
+    re-scores saved predictions without the model and reproduces the scores
+    (ref `catre_custom_evaluator.py:74-79,226-235`)."""
+    import pickle
+
+    cfg = _small_cfg(tmp_path, fake_real_root)
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out_cached")
+
+    # full eval writes predictions.pkl next to the metric tables
+    res1 = do_test(cfg)["nocs_test_real"]["results"]
+    assert osp.exists(osp.join(cfg.OUTPUT_DIR, "predictions.pkl"))
+
+    # cached re-score: no model, same scores
+    apply_overrides(cfg, ["VAL.EVAL_CACHED=True"])
+    res2 = do_test(cfg)["nocs_test_real"]["results"]
+    for it in res1:
+        for k, v in res1[it]["summary"].items():
+            np.testing.assert_allclose(res2[it]["summary"][k], v, atol=1e-12)
+
+    # save-results-only: per-iteration pkl keyed by scene_im_id
+    apply_overrides(cfg, ["VAL.EVAL_CACHED=False", "TEST.SAVE_RESULTS_ONLY=True"])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out_save")
+    do_test(cfg)
+    path = osp.join(cfg.OUTPUT_DIR, "results_nocs_test_real.pkl")
+    assert osp.exists(path)
+    with open(path, "rb") as f:
+        saved = pickle.load(f)
+    sid = next(iter(saved))
+    assert "pred_RTs_0" in saved[sid] and "pred_RTs_2" in saved[sid]
+    assert "gt_RTs" in saved[sid] and "pred_class_ids" in saved[sid]
+
+
 def test_train_profile_iters(tmp_path, fake_real_root):  # noqa: F811
     """TRAIN.PROFILE_ITERS captures a jax.profiler trace into OUTPUT_DIR."""
     import os
