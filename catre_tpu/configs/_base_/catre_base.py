@@ -101,6 +101,9 @@ MODEL = dict(
     LOAD_POSES_TEST=False,
     REFINE_SCLAE=True,  # (sic) keep the reference's key spelling
     BF16=False,         # TPU-native: bf16 compute for the encoder/heads
+    FUSED_HEADS=False,          # Pallas fused rot head at inference
+    FUSED_HEADS_TRAIN=False,    # custom-VJP fused rot head in training
+    FUSED_ENCODER_EPILOGUE=True,  # fuse encoder ->1024->max tails (inference)
     CATRE=dict(
         NAME="CATRE_disR_shared",
         TASK="refine",
@@ -184,7 +187,10 @@ MODEL = dict(
     ),
 )
 
-TRAIN = dict(PRINT_FREQ=100, VIS=False, VIS_IMG=False)
+TRAIN = dict(
+    PRINT_FREQ=100, VIS=False, VIS_IMG=False,
+    PROFILE_ITERS=0,  # TPU-native: jax.profiler capture of k post-warmup steps
+)
 VAL = dict(
     DATASET_NAME="nocs",
     SCORES_PATH="",
@@ -204,4 +210,5 @@ TEST = dict(
     TEST_BBOX_TYPE="gt",
     USE_PNP=False,
     AMP_TEST=False,
+    IMS_PER_BATCH=1,  # TPU-native: images batched per jit call at eval
 )

@@ -132,7 +132,12 @@ def _get_train_dicts(cfg, names):
 
 def _batch_to_device(batch: dict, max_objs: int | None = None,
                      kps_type: str = "mean_shape", num_kps: int = 1024,
-                     with_neg_axis: bool = False) -> dict:
+                     with_neg_axis: bool = False, to_device: bool = True) -> dict:
+    """to_device=False keeps the staged batch in host numpy: with a mesh the
+    arrays go straight to their sharded placement via device_put /
+    host_local_array_to_global_array — a jnp.asarray here would stage them on
+    device 0 only for pad_to_multiple/make_global_batch to np.asarray them
+    BACK to host (a full round trip per iteration on the input path)."""
     from ..data.kps import select_kps
 
     keep = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "valid",
@@ -149,17 +154,20 @@ def _batch_to_device(batch: dict, max_objs: int | None = None,
                 max_objs, n_valid_dropped, batch["pcl"].shape[0],
             )
     out = {}
+    conv = jnp.asarray if to_device else np.asarray
     for k in keep:
         v = batch[k]
         if max_objs is not None and v.shape[0] > max_objs:
             # flattened-instance cap (DATALOADER.MAX_OBJS_TRAIN,
             # `batching.py:66-69`) — static slice keeps shapes jit-stable
             v = v[:max_objs]
-        out[k] = jnp.asarray(v)
+        out[k] = conv(v)
     out["obj_kps"] = select_kps(
         kps_type, mean_points=out["obj_mean_points"], scale_est=out["obj_scale"],
         num_kps=num_kps, with_neg_axis=with_neg_axis,
     )
+    if not to_device:
+        out["obj_kps"] = np.asarray(out["obj_kps"])
     return out
 
 
@@ -265,7 +273,8 @@ def do_train(cfg, resume: bool = False) -> None:
                    else int(cfg.SOLVER.CHECKPOINT_PERIOD))
     eval_period = int(cfg.TEST.get("EVAL_PERIOD", 0))
     # periodic-eval cache: model + compiled refine fn survive across evals
-    eval_ctx = {"model": model, "mcfg": mcfg, "params": params}
+    # (params always arrive via params_override; don't pin a stale copy here)
+    eval_ctx = {"model": model, "mcfg": mcfg}
     print_freq = int(cfg.TRAIN.get("PRINT_FREQ", 100))
 
     tb_dir = osp.join(output_dir, "tb")
@@ -331,6 +340,7 @@ def do_train(cfg, resume: bool = False) -> None:
             kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
             num_kps=int(cfg.INPUT.get("NUM_KPS", 1024)),
             with_neg_axis=bool(cfg.INPUT.get("WITH_NEG_AXIS", False)),
+            to_device=mesh is None,
         )
         if mesh is not None:
             local_dev = mesh.devices.size // world
@@ -349,8 +359,15 @@ def do_train(cfg, resume: bool = False) -> None:
 
         storage.put_scalar("lr", lr)
         if (iteration + 1) % print_freq == 0 or iteration == max_iter - 1:
+            # _vis holds per-INSTANCE arrays: in multi-process runs they are
+            # row-sharded over the global mesh and device_get of a
+            # non-addressable global array raises — fetch them only when the
+            # single-process vis path will actually use them
+            want_vis = (cfg.TRAIN.get("VIS_IMG", False)
+                        and comm.is_main_process() and world == 1)
+            vis_dev = metrics.pop("_vis", None)
             m = jax.device_get(metrics)
-            vis = m.pop("_vis", None)
+            vis = jax.device_get(vis_dev) if (want_vis and vis_dev is not None) else None
             bad = int(jax.device_get(bad_iter))
             if bad >= 0:
                 raise FloatingPointError(
@@ -363,8 +380,7 @@ def do_train(cfg, resume: bool = False) -> None:
             storage.put_scalar("loss_total", float(np.asarray(m["loss_total"])[-1]))
             # train-time image vis (TRAIN.VIS_IMG, ref engine.py:370-422):
             # input image + gt/est projected keypoints to tensorboard
-            if (cfg.TRAIN.get("VIS_IMG", False) and vis is not None
-                    and comm.is_main_process() and world == 1):
+            if vis is not None:
                 try:
                     _log_train_vis(storage, batch_np, batch, vis)
                 except Exception as e:  # vis must never kill training
@@ -395,13 +411,16 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
 
     if ctx is not None and "model" in ctx:
         model, mcfg = ctx["model"], ctx["mcfg"]
-        params = ctx["params"]
+        # ctx never caches params: callers with a ctx always pass
+        # params_override (stale-copy hazard otherwise)
+        assert params_override is not None, "ctx-cached do_test needs params_override"
+        params = params_override
     else:
         model, mcfg, params = build_model(cfg)
         if ctx is not None:
-            ctx.update(model=model, mcfg=mcfg, params=params)
-    if params_override is not None:
-        params = params_override
+            ctx.update(model=model, mcfg=mcfg)
+        if params_override is not None:
+            params = params_override
 
     results_all = {}
     for dset_name in cfg.DATASETS.TEST:
@@ -468,12 +487,19 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
             mesh=mesh,
         )
         if cfg.TEST.get("VIS", False):
-            _save_visualizations(dicts, evaluator, output_dir)
+            # collective gather so the vis/results paths see ALL processes'
+            # predictions; only main writes (world-1: both are no-ops)
+            evaluator.gather_predictions()
+            if comm.is_main_process():
+                _save_visualizations(dicts, evaluator, output_dir)
         if cfg.TEST.get("SAVE_RESULTS_ONLY", False):
             # results.pkl with poses/scales at every iter, keyed by
             # scene_im_id (mirrors `catre_save_result_of_dataset`,
             # `catre_evaluator.py:372-707`)
-            _save_results_pkl(evaluator, osp.join(output_dir, f"results_{dset_name}.pkl"))
+            evaluator.gather_predictions()
+            if comm.is_main_process():
+                _save_results_pkl(evaluator,
+                                  osp.join(output_dir, f"results_{dset_name}.pkl"))
             results = {}
         else:
             results = evaluator.evaluate()
@@ -579,10 +605,11 @@ def _save_visualizations(dicts: list, evaluator: CATREEvaluator, output_dir: str
                 panel = draw_projected_box3d(panel, s, RT[:3], K, color=(0, 255, 0))
             panels.append(panel)
             titles.append(f"im_init_refine_{it}")
-        ncol = min(3, len(panels))
-        nrow = int(np.ceil(len(panels) / ncol))
-        grid_show(panels, titles, row=nrow, col=ncol,
-                  save_path=osp.join(vis_dir, sid.replace("/", "_") + "_iters.png"))
+        if panels:  # n_iters=0 scores init estimates only — nothing to grid
+            ncol = min(3, len(panels))
+            nrow = int(np.ceil(len(panels) / ncol))
+            grid_show(panels, titles, row=nrow, col=ncol,
+                      save_path=osp.join(vis_dir, sid.replace("/", "_") + "_iters.png"))
         done += 1
         if done >= n_images:
             break

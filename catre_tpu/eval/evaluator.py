@@ -80,6 +80,21 @@ class CATREEvaluator:
             "pred_bboxes": np.asarray(bboxes_yxyx),
         }
 
+    def gather_predictions(self) -> None:
+        """Merge per-process prediction shards into every process's _preds
+        (`catre_custom_evaluator.py:200-213`). Idempotent; no-op at world 1.
+        Must run on ALL processes (collective)."""
+        from ..parallel import comm
+
+        if comm.get_world_size() <= 1:
+            return
+        gathered = comm.all_gather(self._preds)
+        merged = [dict() for _ in range(self.n_iters + 1)]
+        for proc_preds in gathered:
+            for refine_i, d in enumerate(proc_preds):
+                merged[refine_i].update(d)
+        self._preds = merged
+
     # -------------------------------------------------- scoring
     def evaluate(self, dump: bool = True) -> dict:
         """Per-iteration mAP tables. Returns
@@ -90,12 +105,7 @@ class CATREEvaluator:
         from ..parallel import comm
 
         if comm.get_world_size() > 1:
-            gathered = comm.all_gather(self._preds)
-            merged = [dict() for _ in range(self.n_iters + 1)]
-            for proc_preds in gathered:
-                for refine_i, d in enumerate(proc_preds):
-                    merged[refine_i].update(d)
-            self._preds = merged
+            self.gather_predictions()
             if not comm.is_main_process():
                 return {}
 

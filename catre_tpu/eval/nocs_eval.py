@@ -196,6 +196,7 @@ def pairwise_degree_cm(pred_RTs, gt_RTs, gt_class_ids, gt_handle_visibility,
     sym = np.isin(gt_names, ("bottle", "can", "bowl")) | (
         (gt_names == "mug") & (np.asarray(gt_handle_visibility) == 0)
     )  # (G,)
+    sym180 = np.isin(gt_names, ("phone", "eggbox", "glue"))  # (G,)
 
     # symmetric: angle between rotated y axes, no clip (parity with the
     # reference, `test_utils.py:664-667`)
@@ -206,11 +207,21 @@ def pairwise_degree_cm(pred_RTs, gt_RTs, gt_class_ids, gt_handle_visibility,
     with np.errstate(invalid="ignore"):
         theta_sym = np.arccos(dots / norms)
 
-    # general: trace formula with clip (`test_utils.py:679-683`)
+    # 180-degree symmetric (phone/eggbox/glue): min over the y-flip, no clip
+    # (`test_utils.py:668-678`)
     tr = np.einsum("pik,gik->pg", R1, R2)  # trace(R1 @ R2.T)
+    y180 = np.diag([-1.0, 1.0, -1.0])
+    tr180 = np.einsum("pij,jk,gik->pg", R1, y180, R2)  # trace(R1 @ y180 @ R2.T)
+    with np.errstate(invalid="ignore"):
+        theta_180 = np.minimum(np.arccos((tr - 1.0) / 2.0),
+                               np.arccos((tr180 - 1.0) / 2.0))
+
+    # general: trace formula with clip (`test_utils.py:679-683`)
     theta_gen = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
 
-    theta = np.where(sym[None, :], theta_sym, theta_gen) * 180.0 / np.pi
+    theta = np.where(
+        sym[None, :], theta_sym,
+        np.where(sym180[None, :], theta_180, theta_gen)) * 180.0 / np.pi
     shift = np.linalg.norm(T1[:, None, :] - T2[None, :, :], axis=-1) * 100.0
     return np.stack([theta, shift], axis=-1)
 

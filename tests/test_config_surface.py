@@ -96,3 +96,20 @@ def test_canonical_test_init():
     np.testing.assert_allclose(a["pose_est"][:, 3], cfg.INPUT.CANONICAL_TRANS, atol=1e-6)
     np.testing.assert_allclose(a["scale_est"], cfg.INPUT.CANONICAL_SIZE, atol=1e-6)
     assert a["score"] == 1.0
+
+
+def test_strict_mode_accepts_every_consumed_key():
+    """Every TPU-native key the code consumes must live in the base schema —
+    a valid override must not trip STRICT_CFG (regression: FUSED_HEADS /
+    FUSED_HEADS_TRAIN / FUSED_ENCODER_EPILOGUE / TEST.IMS_PER_BATCH /
+    TRAIN.PROFILE_ITERS were consumed but unlisted)."""
+    from catre_tpu.config.build import validate_config
+    from catre_tpu.config.loader import apply_overrides
+
+    cfg = load_config(CFG_PATH)
+    apply_overrides(cfg, [
+        "MODEL.FUSED_HEADS=True", "MODEL.FUSED_HEADS_TRAIN=True",
+        "MODEL.FUSED_ENCODER_EPILOGUE=False", "TEST.IMS_PER_BATCH=8",
+        "TRAIN.PROFILE_ITERS=3", "MODEL.BF16=True",
+    ])
+    assert validate_config(cfg, strict=True) == []

@@ -157,3 +157,25 @@ def test_pairwise_degree_cm_matches_scalar_reference():
                     pred_RTs[i], gt_RTs[j], gt_cls[j], gt_hv[j], SYNSET_NAMES
                 )
                 np.testing.assert_allclose(ours[i, j], ref, atol=1e-9)
+
+
+def test_pairwise_degree_cm_180_symmetry_classes():
+    """phone/eggbox/glue take the 180-degree-flip min branch
+    (`test_utils.py:676-679`) — LINEMOD-style synsets reachable through the
+    synset_names parameter."""
+    from catre_tpu.eval.nocs_eval import pairwise_degree_cm
+
+    synset = ["BG", "phone", "eggbox", "glue", "ape", "bottle", "mug"]
+    for trial in range(5):
+        P, G = 4, 6
+        pred_RTs = np.stack([_rand_rt() for _ in range(P)])
+        gt_RTs = np.stack([_rand_rt() for _ in range(G)])
+        gt_cls = RNG.integers(1, 7, size=G)
+        gt_hv = RNG.integers(0, 2, size=G)
+        ours = pairwise_degree_cm(pred_RTs, gt_RTs, gt_cls, gt_hv, synset)
+        for i in range(P):
+            for j in range(G):
+                ref = ref_tu.compute_RT_degree_cm_symmetry(
+                    pred_RTs[i], gt_RTs[j], gt_cls[j], gt_hv[j], synset
+                )
+                np.testing.assert_allclose(ours[i, j], ref, atol=1e-9)
