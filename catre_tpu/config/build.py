@@ -70,6 +70,18 @@ def _fused_ok(flag, rot_type: str) -> bool:
     return flag
 
 
+def _enc_train_ok(cfg, rot_type: str) -> bool:
+    """FUSED_ENCODER_TRAIN rides the fused-training delta path, which exists
+    only under FUSED_HEADS_TRAIN (and therefore rot6d)."""
+    flag = bool(cfg.MODEL.get("FUSED_ENCODER_TRAIN", False))
+    if flag and not _fused_ok(cfg.MODEL.get("FUSED_HEADS_TRAIN", False), rot_type):
+        logger.warning(
+            "FUSED_ENCODER_TRAIN requires FUSED_HEADS_TRAIN (and rot6d); "
+            "falling back to the flax encoder in training")
+        return False
+    return flag
+
+
 def _t(x):
     """tuple-ify nested lists for hashable dataclass fields."""
     if isinstance(x, (list, tuple)):
@@ -121,6 +133,7 @@ def model_config_from(cfg) -> CATREConfig:
         dtype=jnp.bfloat16 if cfg.MODEL.get("BF16", False) else None,
         fused_heads=_fused_ok(cfg.MODEL.get("FUSED_HEADS", False), rot_type),
         fused_heads_train=_fused_ok(cfg.MODEL.get("FUSED_HEADS_TRAIN", False), rot_type),
+        fused_encoder_train=_enc_train_ok(cfg, rot_type),
         fused_encoder_epilogue=bool(cfg.MODEL.get("FUSED_ENCODER_EPILOGUE", True)),
     )
 

@@ -104,6 +104,7 @@ MODEL = dict(
     FUSED_HEADS=False,          # Pallas fused rot head at inference
     FUSED_HEADS_TRAIN=False,    # custom-VJP fused rot head in training
     FUSED_ENCODER_EPILOGUE=True,  # fuse encoder ->1024->max tails (inference)
+    FUSED_ENCODER_TRAIN=False,  # custom-VJP fused encoder tails in training
     CATRE=dict(
         NAME="CATRE_disR_shared",
         TASK="refine",

@@ -55,6 +55,7 @@ class CATREConfig:
     dtype: Any = None                     # compute dtype (None = float32)
     fused_heads: bool = False             # Pallas fused rot head (inference)
     fused_heads_train: bool = False       # custom-VJP fused rot head (training)
+    fused_encoder_train: bool = False     # custom-VJP fused encoder epilogues
     fused_block_size: int = 1             # objects per rot-head grid step
     fused_encoder: bool = False           # Pallas encoder columns (inference)
     fused_encoder_epilogue: bool = True   # fuse the ->1024->max tails (inference)
@@ -283,18 +284,33 @@ def delta_forward_fused_train(cfg: CATREConfig, params, x, tfd_kps, init_scale,
 
     B = x.shape[0]
     interpret = jax.devices()[0].platform == "cpu"
-    enc = PointNetFeat(
-        out_dim=cfg.pclnet_out_dim, global_feat=False,
-        feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
-    )
+    if cfg.fused_encoder_train:
+        # custom-VJP fused ->1024->max tails: the (N*P, 1024) activations and
+        # the max-backward mask never reach HBM (ops/pallas_encoder_epilogue_vjp)
+        from ..ops.pallas_encoder_epilogue_vjp import pointnet_encode_fused_train
+
+        def encode(xx):
+            return pointnet_encode_fused_train(
+                params["pcl_net"], xx, feature_transform=cfg.feature_transform,
+                interpret=interpret,
+                compute_dtype=jnp.float32 if interpret else cfg.dtype or jnp.float32,
+            )
+    else:
+        enc = PointNetFeat(
+            out_dim=cfg.pclnet_out_dim, global_feat=False,
+            feature_transform=cfg.feature_transform, return_parts=True, dtype=cfg.dtype,
+        )
+
+        def encode(xx):
+            return enc.apply({"params": params["pcl_net"]}, xx)
     both = jnp.concatenate([x, tfd_kps], axis=0) if x.shape[1] == tfd_kps.shape[1] else None
     if both is not None:
-        pf, gf = enc.apply({"params": params["pcl_net"]}, both)
+        pf, gf = encode(both)
         pcl_pf, kps_pf = pf[:B], pf[B:]
         g_pcl, g_kps = gf[:B], gf[B:]
     else:
-        pcl_pf, g_pcl = enc.apply({"params": params["pcl_net"]}, x)
-        kps_pf, g_kps = enc.apply({"params": params["pcl_net"]}, tfd_kps)
+        pcl_pf, g_pcl = encode(x)
+        kps_pf, g_kps = encode(tfd_kps)
 
     flat_pcl_feat = jnp.concatenate([g_pcl, jnp.max(pcl_pf, axis=1)], axis=1)
     ts_feat = flat_pcl_feat
