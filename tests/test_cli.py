@@ -84,3 +84,22 @@ def test_main_argparser():
                          "MODEL.WEIGHTS=a.pth", "SOLVER.IMS_PER_BATCH=2"])
     assert args.eval_only and args.config_file == "x.py"
     assert args.opts == ["MODEL.WEIGHTS=a.pth", "SOLVER.IMS_PER_BATCH=2"]
+
+
+def test_tpu_variant_config():
+    """The _tpu production variant inherits the recipe and enables every
+    TPU fast path; it must validate clean under strict mode."""
+    from catre_tpu.config.build import model_config_from, validate_config
+    from catre_tpu.config.loader import load_config
+
+    cfg = load_config(osp.join(
+        CFG_DIR, "nocs_real",
+        "aug05_kpsMS_r9d_catreDisR_shared_tspcl_convPerRot_scaleexp_120e_tpu.py"))
+    assert validate_config(cfg, strict=True) == []
+    mc = model_config_from(cfg)
+    assert mc.fused_heads and mc.fused_heads_train and mc.fused_encoder_train
+    assert mc.dtype is not None  # bf16
+    # recipe semantics inherited from the base experiment
+    assert cfg.MODEL.CATRE.N_ITER_TEST == 4
+    assert cfg.INPUT.KPS_TYPE == "mean_shape"
+    assert cfg.SOLVER.IMS_PER_BATCH == 64
