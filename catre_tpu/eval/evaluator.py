@@ -66,6 +66,7 @@ class CATREEvaluator:
     def reset(self) -> None:
         # refine_i -> scene_im_id -> prediction dict
         self._preds = [dict() for _ in range(self.n_iters + 1)]
+        self._gathered = False
 
     def process(self, scene_im_id: str, refine_i: int, poses_4x4: np.ndarray,
                 scales: np.ndarray, class_ids_1based: np.ndarray,
@@ -82,12 +83,15 @@ class CATREEvaluator:
 
     def gather_predictions(self) -> None:
         """Merge per-process prediction shards into every process's _preds
-        (`catre_custom_evaluator.py:200-213`). Idempotent; no-op at world 1.
-        Must run on ALL processes (collective)."""
+        (`catre_custom_evaluator.py:200-213`). Idempotent — a second call
+        (e.g. TEST.VIS gather followed by evaluate()) skips the all_gather so
+        the full merged set isn't re-exchanged. No-op at world 1. Must run on
+        ALL processes (collective)."""
         from ..parallel import comm
 
-        if comm.get_world_size() <= 1:
+        if comm.get_world_size() <= 1 or self._gathered:
             return
+        self._gathered = True
         gathered = comm.all_gather(self._preds)
         merged = [dict() for _ in range(self.n_iters + 1)]
         for proc_preds in gathered:

@@ -213,8 +213,12 @@ def pairwise_degree_cm(pred_RTs, gt_RTs, gt_class_ids, gt_handle_visibility,
     y180 = np.diag([-1.0, 1.0, -1.0])
     tr180 = np.einsum("pij,jk,gik->pg", R1, y180, R2)  # trace(R1 @ y180 @ R2.T)
     with np.errstate(invalid="ignore"):
-        theta_180 = np.minimum(np.arccos((tr - 1.0) / 2.0),
-                               np.arccos((tr180 - 1.0) / 2.0))
+        t1 = np.arccos((tr - 1.0) / 2.0)
+        t2 = np.arccos((tr180 - 1.0) / 2.0)
+        # python min(t1, t2) semantics, not np.minimum: a NaN SECOND arg
+        # (flip trace epsilon-outside [-1,1]) yields t1, a NaN first arg
+        # propagates — matches the scalar reference exactly
+        theta_180 = np.where(np.isnan(t2), t1, np.minimum(t1, t2))
 
     # general: trace formula with clip (`test_utils.py:679-683`)
     theta_gen = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))

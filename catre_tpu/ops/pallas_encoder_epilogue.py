@@ -104,15 +104,18 @@ def fused_dense_relu_dense_max(x, k3, b3, k4, b4, block_clouds=16,
                  interpret, compute_dtype)
 
 
-def pointnet_encode_fused(params, x, feature_transform=True, interpret=False,
-                          compute_dtype=jnp.bfloat16, block_clouds=16):
-    """PointNetFeat forward (return_parts semantics) with the three
-    `-> 1024 -> max` tails fused; everything else stays in XLA.
+def encode_body(params, x, feature_transform, cdt, tail_relu_max,
+                tail_relu_dense_max):
+    """PointNetFeat forward (return_parts semantics) parameterized over the
+    two `-> 1024 -> max` tail implementations; everything else is plain XLA.
+    Shared by the inference wrapper below and the custom-VJP training
+    wrapper (ops/pallas_encoder_epilogue_vjp.py) so the encoder orchestration
+    exists ONCE — any structural change stays in lockstep across both paths.
 
-    `params`: the flax PointNetFeat subtree (models/pointnet.py).
+    tail_relu_max(g, kernel, bias) -> (N, Cout)         (STN conv3 tails)
+    tail_relu_dense_max(h, k3, b3, k4, b4) -> (N, C4)   (main conv3->conv4)
     Returns (pointfeat (N, P, 64), gfeat (N, out_dim)).
     """
-    cdt = jnp.float32 if interpret else compute_dtype
 
     def dense(p, h, act=True):
         k = p["Dense_0"]["kernel"].astype(cdt)
@@ -123,10 +126,8 @@ def pointnet_encode_fused(params, x, feature_transform=True, interpret=False,
 
     def stn(p, h, k):
         g = dense(p["conv2"], dense(p["conv1"], h))          # (N, P, 128)
-        pooled = fused_dense_relu_max(
+        pooled = tail_relu_max(
             g, p["conv3"]["Dense_0"]["kernel"], p["conv3"]["Dense_0"]["bias"],
-            block_clouds=block_clouds, interpret=interpret,
-            compute_dtype=compute_dtype,
         ).astype(cdt)                                        # (N, 1024)
         f = dense(p["fc2"], dense(p["fc1"], pooled))
         f = dense(p["fc3"], f, act=False)                    # (N, k*k)
@@ -141,10 +142,26 @@ def pointnet_encode_fused(params, x, feature_transform=True, interpret=False,
         x = jnp.einsum("bpi,bij->bpj", x, tf)
     pointfeat = x
     h = dense(params["conv2"], x)                            # (N, P, 128)
-    gfeat = fused_dense_relu_dense_max(
+    gfeat = tail_relu_dense_max(
         h, params["conv3"]["Dense_0"]["kernel"], params["conv3"]["Dense_0"]["bias"],
         params["conv4"]["Dense_0"]["kernel"], params["conv4"]["Dense_0"]["bias"],
-        block_clouds=block_clouds, interpret=interpret,
-        compute_dtype=compute_dtype,
     )
     return pointfeat, gfeat
+
+
+def pointnet_encode_fused(params, x, feature_transform=True, interpret=False,
+                          compute_dtype=jnp.bfloat16, block_clouds=16):
+    """PointNetFeat forward (return_parts semantics) with the three
+    `-> 1024 -> max` tails fused; everything else stays in XLA.
+
+    `params`: the flax PointNetFeat subtree (models/pointnet.py).
+    Returns (pointfeat (N, P, 64), gfeat (N, out_dim)).
+    """
+    cdt = jnp.float32 if interpret else compute_dtype
+    kw = dict(block_clouds=block_clouds, interpret=interpret,
+              compute_dtype=compute_dtype)
+    return encode_body(
+        params, x, feature_transform, cdt,
+        lambda g, k, b: fused_dense_relu_max(g, k, b, **kw),
+        lambda h, k3, b3, k4, b4: fused_dense_relu_dense_max(h, k3, b3, k4, b4, **kw),
+    )

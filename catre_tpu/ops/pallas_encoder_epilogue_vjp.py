@@ -48,13 +48,6 @@ def _per_cloud_max_argmax(h, G, P):
     return jnp.concatenate(outs, axis=0), jnp.concatenate(idxs, axis=0)
 
 
-def _expand_rows(v, G, P):
-    """(G, C) -> (G*P, C) by repeating each cloud row P times (concat form —
-    no lane-splitting reshapes on Mosaic)."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(v[c:c + 1], (P, v.shape[1])) for c in range(G)], axis=0)
-
-
 def _routed_grad(idx, dout, G, P, C):
     """Scatter d_out (G, C) into the argmax rows: returns (G*P, C) f32 with
     row argmax[g, c] of cloud g carrying d_out[g, c] in column c. Built per
@@ -192,7 +185,7 @@ def _fwd_call(kernel, x, params, n_out, block, interpret, cdt):
     )(x, *params)
 
 
-def _full(shape=None):
+def _full():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
@@ -336,37 +329,12 @@ def pointnet_encode_fused_train(params, x, feature_transform=True,
     tails running through the custom-VJP fused kernels; numerics match
     `pallas_encoder_epilogue.pointnet_encode_fused` / the flax module.
     Returns (pointfeat (N, P, 64), gfeat (N, out_dim))."""
+    from .pallas_encoder_epilogue import encode_body
+
     cdt = jnp.float32 if interpret else compute_dtype
-
-    def dense(p, h, act=True):
-        k = p["Dense_0"]["kernel"].astype(cdt)
-        b = p["Dense_0"]["bias"].astype(cdt)
-        out = jnp.dot(h.astype(cdt), k, preferred_element_type=jnp.float32)
-        out = out.astype(cdt) + b
-        return jnp.maximum(out, 0) if act else out
-
-    def stn(p, h, k):
-        g = dense(p["conv2"], dense(p["conv1"], h))          # (N, P, 128)
-        pooled = dense_relu_max_t(
-            g, p["conv3"]["Dense_0"]["kernel"], p["conv3"]["Dense_0"]["bias"],
-            interpret, compute_dtype,
-        ).astype(cdt)                                        # (N, 1024)
-        f = dense(p["fc2"], dense(p["fc1"], pooled))
-        f = dense(p["fc3"], f, act=False)                    # (N, k*k)
-        iden = jnp.eye(k, dtype=f.dtype).reshape(1, k * k)
-        return (f + iden).reshape(-1, k, k)
-
-    trans = stn(params["stn"], x, 3)
-    x = jnp.einsum("bpi,bij->bpj", x.astype(trans.dtype), trans)
-    x = dense(params["conv1"], x)                            # (N, P, 64)
-    if feature_transform:
-        tf = stn(params["fstn"], x, 64)
-        x = jnp.einsum("bpi,bij->bpj", x, tf)
-    pointfeat = x
-    h = dense(params["conv2"], x)                            # (N, P, 128)
-    gfeat = dense_relu_dense_max_t(
-        h, params["conv3"]["Dense_0"]["kernel"], params["conv3"]["Dense_0"]["bias"],
-        params["conv4"]["Dense_0"]["kernel"], params["conv4"]["Dense_0"]["bias"],
-        interpret, compute_dtype,
+    return encode_body(
+        params, x, feature_transform, cdt,
+        lambda g, k, b: dense_relu_max_t(g, k, b, interpret, compute_dtype),
+        lambda h, k3, b3, k4, b4: dense_relu_dense_max_t(
+            h, k3, b3, k4, b4, interpret, compute_dtype),
     )
-    return pointfeat, gfeat

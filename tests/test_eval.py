@@ -159,6 +159,39 @@ def test_pairwise_degree_cm_matches_scalar_reference():
                 np.testing.assert_allclose(ours[i, j], ref, atol=1e-9)
 
 
+def test_pairwise_degree_cm_180_symmetry_arccos_edge():
+    """Near-exact y-flips push the flip trace epsilon-outside [-1, 1]; the
+    vectorized branch must reproduce the scalar reference's python-min NaN
+    ordering (min(valid, nan) -> valid) bit-for-bit."""
+    from catre_tpu.eval.nocs_eval import pairwise_degree_cm
+
+    synset = ["BG", "phone", "eggbox", "glue", "ape", "bottle", "mug"]
+    y180 = np.diag([-1.0, 1.0, -1.0])
+    n_nan_t2 = 0
+    for trial in range(50):
+        gt = _rand_rt()
+        pred = gt.copy()
+        pred[:3, :3] = gt[:3, :3] @ y180  # exact flip: both traces at edges
+        ours = float(pairwise_degree_cm(pred[None], gt[None], [1], [1],
+                                        synset)[0, 0, 0])
+        # python-min oracle over the SAME trace formulation as the kernel
+        # (min(t1, nan)=t1 but nan t1 propagates — the reference's exact
+        # decision tree, `test_utils.py:676-679`):
+        R1 = pred[:3, :3] / np.cbrt(np.linalg.det(pred[:3, :3]))
+        R2 = gt[:3, :3] / np.cbrt(np.linalg.det(gt[:3, :3]))
+        tr = np.einsum("pik,gik->pg", R1[None], R2[None])[0, 0]
+        tr180 = np.einsum("pij,jk,gik->pg", R1[None], y180, R2[None])[0, 0]
+        with np.errstate(invalid="ignore"):
+            t1 = np.arccos((tr - 1.0) / 2.0)
+            t2 = np.arccos((tr180 - 1.0) / 2.0)
+        expect = float(min(t1, t2)) * 180.0 / np.pi  # python min semantics
+        n_nan_t2 += int(np.isnan(t2))
+        np.testing.assert_allclose(ours, expect, atol=1e-9, equal_nan=True)
+    # the crafted flips must actually exercise the nan-second-arg branch
+    # (where np.minimum would have wrongly propagated NaN)
+    assert n_nan_t2 > 0
+
+
 def test_pairwise_degree_cm_180_symmetry_classes():
     """phone/eggbox/glue take the 180-degree-flip min branch
     (`test_utils.py:676-679`) — LINEMOD-style synsets reachable through the
