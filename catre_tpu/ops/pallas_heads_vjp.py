@@ -187,17 +187,25 @@ def _bwd_kernel(cdt, n_pcl_ref, pf_ref, g_ref, dout_ref,
 
     d_pf_ref[0] = d_pf.astype(jnp.float32)
     d_g_ref[0] = jnp.concatenate([d_g_pcl, d_g_kps], axis=0)
-    d_w_pt_ref[0] = d_w_pt
-    d_b0_ref[0] = d_b0
-    d_gn0s_ref[0] = d_gn0_s
-    d_gn0b_ref[0] = d_gn0_b
-    d_w1x_ref[0] = d_w1x
-    d_w1y_ref[0] = d_w1y
-    d_b1_ref[0] = d_b1
-    d_gn1s_ref[0] = d_gn1_s
-    d_gn1b_ref[0] = d_gn1_b
-    d_pw2_ref[0] = d_pw2
-    d_neckbd_ref[0] = d_neckbd
+    # parameter grads ACCUMULATE in-kernel across the sequential object grid
+    # (constant output blocks + pl.when): the per-object (B, shape) grad
+    # materialization + XLA batch-reduce this replaces was ~350 MB of HBM
+    # round-trips per step at B=512
+    grads = [d_w_pt, d_b0, d_gn0_s, d_gn0_b, d_w1x, d_w1y, d_b1, d_gn1_s,
+             d_gn1_b, d_pw2, d_neckbd]
+    refs = [d_w_pt_ref, d_b0_ref, d_gn0s_ref, d_gn0b_ref, d_w1x_ref,
+            d_w1y_ref, d_b1_ref, d_gn1s_ref, d_gn1b_ref, d_pw2_ref,
+            d_neckbd_ref]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref, g in zip(refs, grads):
+            ref[...] = g
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        for ref, g in zip(refs, grads):
+            ref[...] += g
 
 
 def _run_bwd_joint(point_feats, gterm, d_out6, merged, n_pcl, interpret):
@@ -217,10 +225,16 @@ def _run_bwd_joint(point_feats, gterm, d_out6, merged, n_pcl, interpret):
         (cin, C), (1, C), (1, C), (1, C), (256, 256), (256, 256), (1, C),
         (1, C), (1, C), (2, P), (C, 6),
     ]
+
+    def accum(shape):
+        # constant block: every grid step revisits it (in-kernel accumulation)
+        return pl.BlockSpec(shape, lambda b, *_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
     out_shapes = ([jax.ShapeDtypeStruct((B, P, cin), jnp.float32),
                    jax.ShapeDtypeStruct((B, 2, C), jnp.float32)]
-                  + [jax.ShapeDtypeStruct((B,) + s, jnp.float32) for s in gshapes])
-    out_specs = ([per_obj((P, cin)), per_obj((2, C))] + [per_obj(s) for s in gshapes])
+                  + [jax.ShapeDtypeStruct(s, jnp.float32) for s in gshapes])
+    out_specs = ([per_obj((P, cin)), per_obj((2, C))] + [accum(s) for s in gshapes])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -311,18 +325,18 @@ def _bwd(n_pcl, interpret, res, d_out):
     # W_g grads per head = columns of the joint d_wg
     d_wg = g_pcl32.T @ d_g[:, 0, :] + g_kps32.T @ d_g[:, 1, :]  # (1024, 512)
 
-    # reduce per-object param grads over the batch
-    rw_pt = jnp.sum(d_w_pt, axis=0)      # (cin, 512)
-    rb0 = jnp.sum(d_b0, axis=0)[0]       # (512,)
-    rgn0s = jnp.sum(d_gn0s, axis=0)[0]
-    rgn0b = jnp.sum(d_gn0b, axis=0)[0]
-    rw1x = jnp.sum(d_w1x, axis=0)
-    rw1y = jnp.sum(d_w1y, axis=0)
-    rb1 = jnp.sum(d_b1, axis=0)[0]
-    rgn1s = jnp.sum(d_gn1s, axis=0)[0]
-    rgn1b = jnp.sum(d_gn1b, axis=0)[0]
-    rpw2 = jnp.sum(d_pw2, axis=0)        # (2, P)
-    rneck = jnp.sum(d_neckbd, axis=0)    # (512, 6)
+    # param grads arrive batch-accumulated from the kernel
+    rw_pt = d_w_pt          # (cin, 512)
+    rb0 = d_b0[0]           # (512,)
+    rgn0s = d_gn0s[0]
+    rgn0b = d_gn0b[0]
+    rw1x = d_w1x
+    rw1y = d_w1y
+    rb1 = d_b1[0]
+    rgn1s = d_gn1s[0]
+    rgn1b = d_gn1b[0]
+    rpw2 = d_pw2            # (2, P)
+    rneck = d_neckbd        # (512, 6)
 
     # bias-path grads (out6 += sum(pw)*neck_b + pb), handled outside:
     d_sum = jnp.sum(d32, axis=0, keepdims=True)              # (1, 6)

@@ -81,6 +81,10 @@ def _torch_loss(model, batch):
 def test_gradient_parity_with_torch():
     B, P = 3, 96
     cfg = CATREConfig(num_pcl=P, num_kps=P)
+    # TorchCATRE() draws weights from torch's GLOBAL rng — without an
+    # explicit seed the drawn weights (and thus whether the tight 1e-4 loss
+    # tolerance holds) depend on which other tests ran first
+    torch.manual_seed(7)
     tm = TorchCATRE()
     # reference-format num_points for conv_p differs from default 2048
     tm.rot_head.rot_head_x.conv_p = torch.nn.Conv1d(2 * P, 1, 1, bias=True)

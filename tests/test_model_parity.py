@@ -18,6 +18,7 @@ RNG = np.random.default_rng(42)
 
 
 def test_pointnet_parity():
+    torch.manual_seed(3)
     tm = TorchPointNetFeat().eval()
     # convert just the encoder by faking the full-prefix state dict
     sd = {f"pcl_net.{k}": v for k, v in tm.state_dict().items()}
@@ -36,6 +37,7 @@ def test_pointnet_parity():
 
 
 def test_full_model_parity():
+    torch.manual_seed(4)
     tm = TorchCATRE().eval()
     params = torch_state_dict_to_params(tm.state_dict())
 
