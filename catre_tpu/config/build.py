@@ -70,11 +70,12 @@ def _fused_ok(flag, rot_type: str) -> bool:
     return flag
 
 
-def _enc_train_ok(cfg, rot_type: str) -> bool:
+def _enc_train_ok(cfg, fused_heads_train: bool) -> bool:
     """FUSED_ENCODER_TRAIN rides the fused-training delta path, which exists
-    only under FUSED_HEADS_TRAIN (and therefore rot6d)."""
+    only under FUSED_HEADS_TRAIN (and therefore rot6d); takes the
+    already-resolved flag so the rot6d warning isn't emitted twice."""
     flag = bool(cfg.MODEL.get("FUSED_ENCODER_TRAIN", False))
-    if flag and not _fused_ok(cfg.MODEL.get("FUSED_HEADS_TRAIN", False), rot_type):
+    if flag and not fused_heads_train:
         logger.warning(
             "FUSED_ENCODER_TRAIN requires FUSED_HEADS_TRAIN (and rot6d); "
             "falling back to the flax encoder in training")
@@ -108,6 +109,7 @@ def model_config_from(cfg) -> CATREConfig:
             f"ROT_TYPE={rot_type} (total width {rot_out_dim} needs per-head "
             f"rot_dim {(rot_out_dim + 1) // 2})"
         )
+    fht = _fused_ok(cfg.MODEL.get("FUSED_HEADS_TRAIN", False), rot_type)
     return CATREConfig(
         num_pcl=int(cfg.INPUT.NUM_PCL),
         num_kps=int(cfg.INPUT.NUM_KPS),
@@ -132,8 +134,8 @@ def model_config_from(cfg) -> CATREConfig:
         refine_scale=bool(cfg.MODEL.get("REFINE_SCLAE", True)),
         dtype=jnp.bfloat16 if cfg.MODEL.get("BF16", False) else None,
         fused_heads=_fused_ok(cfg.MODEL.get("FUSED_HEADS", False), rot_type),
-        fused_heads_train=_fused_ok(cfg.MODEL.get("FUSED_HEADS_TRAIN", False), rot_type),
-        fused_encoder_train=_enc_train_ok(cfg, rot_type),
+        fused_heads_train=fht,
+        fused_encoder_train=_enc_train_ok(cfg, fht),
         fused_encoder_epilogue=bool(cfg.MODEL.get("FUSED_ENCODER_EPILOGUE", True)),
     )
 

@@ -464,6 +464,34 @@ class CATRELoader:
         """Synchronous device stage (dispatch + finalize) for one group."""
         return self._finalize_group(self._dispatch_group(items))
 
+    def _pipelined_groups(self, records, yield_empty: bool = False,
+                          flush_partial: bool = False):
+        """Shared double-buffered pipeline over a record stream (one state
+        machine for the train and test branches of __iter__). Yields tagged
+        items, in record order:
+          ("group", [finalized image dicts])   full groups
+          ("empty", marker dict)               undecodable records (test)
+          ("partial", [(record, data), ...])   trailing un-dispatched group
+        """
+        pending, handle = [], None
+        for record, data in self._host_stream(records):
+            if data is None:
+                if yield_empty:
+                    yield "empty", {"scene_im_ids": [record["scene_im_id"]],
+                                    "empty": True, "record": record}
+                continue
+            pending.append((record, data))
+            if len(pending) == self.ims_per_batch:
+                new_handle = self._dispatch_group(pending)
+                pending = []
+                if handle is not None:
+                    yield "group", self._finalize_group(handle)
+                handle = new_handle
+        if handle is not None:
+            yield "group", self._finalize_group(handle)
+        if flush_partial and pending:
+            yield "partial", pending
+
     def _post_device(self, record: dict, data: dict) -> dict:
         # aligned per-point extras: nocs coords (train variants with a nocs
         # loss, `data_loader.py:584-611` samples nocs with the same indices)
@@ -572,39 +600,21 @@ class CATRELoader:
         # double-buffered device stage: group k's sampler runs on-device while
         # group k+1 decodes on host; exactly one group of latency, same order
         if self.phase == "train":
-            pending, handle = [], None
-            for record, data in self._host_stream(self._train_records()):
-                if data is None:
-                    continue
-                pending.append((record, data))
-                if len(pending) == self.ims_per_batch:
-                    new_handle = self._dispatch_group(pending)
-                    pending = []
-                    if handle is not None:
-                        yield self._flatten(self._finalize_group(handle))
-                    handle = new_handle
+            for kind, val in self._pipelined_groups(self._train_records()):
+                yield self._flatten(val)  # only "group" occurs (no empties)
         else:
             # test: fixed-size groups of images flattened into one padded
             # object batch (ims_per_batch=1 reproduces the reference's
             # one-image-per-step evaluation; larger values batch the jit)
-            pending, handle = [], None
-            for record, data in self._host_stream(iter(self.dicts)):
-                if data is None:
-                    yield {"scene_im_ids": [record["scene_im_id"]], "empty": True,
-                           "record": record}
+            for kind, val in self._pipelined_groups(
+                    iter(self.dicts), yield_empty=True, flush_partial=True):
+                if kind == "empty":
+                    yield val
                     continue
-                pending.append((record, data))
-                if len(pending) == self.ims_per_batch:
-                    new_handle = self._dispatch_group(pending)
-                    pending = []
-                    if handle is not None:
-                        yield self._flatten(self._finalize_group(handle))
-                    handle = new_handle
-            if handle is not None:
-                yield self._flatten(self._finalize_group(handle))
-                handle = None
-            if pending:
-                group = self._device_group(pending)
+                if kind == "group":
+                    yield self._flatten(val)
+                    continue
+                group = self._device_group(val)  # trailing partial group
                 # pad the final partial group to the fixed batch shape so the
                 # jitted refine compiles exactly once (padding images carry
                 # valid=False rows and a None scene_im_id the consumer skips)

@@ -18,6 +18,7 @@ import time
 import numpy as np
 
 from ..data import meta
+from ..geom.transforms import pose_3x4_to_4x4_np
 from .nocs_eval import SYNSET_NAMES, compute_independent_mAP
 
 logger = logging.getLogger(__name__)
@@ -47,11 +48,7 @@ class CATREEvaluator:
                 if "pose" not in a:
                     continue
                 cls_ids.append(a["category_id"] + 1)  # 1-based for the protocol
-                # host numpy: a jnp call here is one device dispatch per
-                # annotation (thousands at evaluator construction)
-                RTs.append(np.concatenate(
-                    [np.asarray(a["pose"], np.float32),
-                     np.array([[0.0, 0.0, 0.0, 1.0]], np.float32)], axis=0))
+                RTs.append(pose_3x4_to_4x4_np(np.asarray(a["pose"], np.float32)))
                 scales.append(a["scale"])
                 handles.append(a.get("mug_handle", 1))
             gts[rec["scene_im_id"]] = {
@@ -216,7 +213,10 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         row_sharding = batch_sharding(mesh)
 
         def put(arr):
-            return jax.device_put(jnp.asarray(arr), row_sharding)
+            # host numpy straight to the sharded placement in ONE transfer —
+            # jnp.asarray first would stage on device 0 and reshard (an extra
+            # hop per array per batch on the relay-latency-sensitive path)
+            return jax.device_put(np.asarray(arr), row_sharding)
     else:
         def put(arr):
             return jnp.asarray(arr)
@@ -230,9 +230,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         if batch.get("empty"):
             continue
         t0 = time.perf_counter()
+        # host numpy in, host numpy out (for mean_shape): put() then ships
+        # every input in a single host->sharded-placement transfer
         obj_kps = select_kps(
-            kps_type, mean_points=jnp.asarray(batch["obj_mean_points"]),
-            scale_est=jnp.asarray(batch["obj_scale_est"]), num_kps=num_kps,
+            kps_type, mean_points=batch["obj_mean_points"],
+            scale_est=batch["obj_scale_est"], num_kps=num_kps,
         )
         poses, scales = refine_fn(
             params, put(batch["pcl"]), put(obj_kps),
@@ -257,13 +259,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             if scene_im_id is None:  # final-group padding image
                 continue
             sel = valid & (im_ids == local_i)
-            n_sel = int(sel.sum())
             # host-side 3x4 -> 4x4 (a jnp call here costs a device dispatch
             # per image per refine iter — measured 1.5 s/img through the
             # remote-TPU relay vs ~0 in numpy)
-            bottom = np.tile(np.array([[[0, 0, 0, 1]]], poses.dtype), (n_sel, 1, 1))
             for refine_i in range(n_iters + 1):
-                p44 = np.concatenate([poses[refine_i][sel], bottom], axis=1)
+                p44 = pose_3x4_to_4x4_np(poses[refine_i][sel])
                 evaluator.process(scene_im_id, refine_i, p44, scales[refine_i][sel],
                                   cls_all[sel], scores_all[sel], bb_all[sel])
         if i >= warmup:

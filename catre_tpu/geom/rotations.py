@@ -190,9 +190,16 @@ def qexp(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     else:
         s = jnp.zeros_like(q[..., :1])
         v = q
-    theta = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    w = jnp.cos(theta)
-    xyz = jnp.sin(theta) / jnp.maximum(theta, eps) * v
+    # double-where guard: norm() has an infinite derivative at 0, and a
+    # branch select alone does not block the NaN cotangent of the unselected
+    # branch — without this, a zero log-quat prediction (padded row, bf16
+    # underflow) NaNs every parameter gradient
+    theta2 = jnp.sum(jnp.square(v), axis=-1, keepdims=True)
+    safe = theta2 > eps * eps
+    theta = jnp.sqrt(jnp.where(safe, theta2, 1.0))
+    w = jnp.where(safe, jnp.cos(theta), 1.0)
+    # sinc form: sin(theta)/theta -> 1 as theta -> 0 (d xyz/dv = I at 0)
+    xyz = jnp.where(safe, jnp.sin(theta) / theta, 1.0) * v
     return jnp.exp(s) * jnp.concatenate([w, xyz], axis=-1)
 
 
@@ -208,7 +215,11 @@ def lie_vec_to_mat(vec: jnp.ndarray) -> jnp.ndarray:
       vec: (..., 3)
     """
     theta2 = jnp.sum(jnp.square(vec), axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    safe = theta2 > 1e-6
+    # sqrt has an infinite derivative at 0: compute it on a safe stand-in for
+    # the rows the Taylor branch will take, so the unselected exact branch
+    # cannot leak NaN gradients through the jnp.where (double-where guard)
+    theta = jnp.sqrt(jnp.where(safe, theta2, 1.0))
     # exact branch (ref :26-47): axis = vec / (theta + 1e-6)
     R_exact = axangle_to_mat(vec / (theta[..., None] + 1e-6), theta, is_normalized=True)
     # taylor branch (ref :49-53): I + skew(vec)
@@ -217,8 +228,7 @@ def lie_vec_to_mat(vec: jnp.ndarray) -> jnp.ndarray:
     R_taylor = jnp.stack(
         [one, -rz, ry, rz, one, -rx, -ry, rx, one], axis=-1
     ).reshape(vec.shape[:-1] + (3, 3))
-    mask = (theta2 > 1e-6)[..., None, None]
-    return jnp.where(mask, R_exact, R_taylor)
+    return jnp.where(safe[..., None, None], R_exact, R_taylor)
 
 
 def mat_to_lie_vec(mat: jnp.ndarray) -> jnp.ndarray:

@@ -72,6 +72,18 @@ def pose_compose_3x4(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+def pose_3x4_to_4x4_np(pose) -> "np.ndarray":
+    """Host-numpy (..., 3, 4) -> (..., 4, 4) with a bit-exact [0,0,0,1]
+    bottom row (the eval protocol asserts on it). Kept on host: a jnp call
+    per pose costs a device dispatch on the hot evaluator paths."""
+    import numpy as np
+
+    pose = np.asarray(pose)
+    bottom = np.zeros(pose.shape[:-2] + (1, 4), dtype=pose.dtype)
+    bottom[..., 0, 3] = 1.0
+    return np.concatenate([pose, bottom], axis=-2)
+
+
 def pose_3x4_to_4x4(pose: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 4) -> (..., 4, 4) homogeneous."""
     bottom = jnp.zeros(pose.shape[:-2] + (1, 4), dtype=pose.dtype)

@@ -97,6 +97,14 @@ class TestQexp:
         g = jax.grad(lambda x: jnp.sum(geom.quat_to_mat(geom.qexp(x))))(q)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_grad_finite_at_zero(self):
+        """Exactly-zero log quats (padded rows, bf16 underflow) must not NaN
+        the gradient — norm() has an infinite derivative at 0 and needs the
+        double-where guard."""
+        q = jnp.zeros((4, 3), jnp.float32)
+        g = jax.grad(lambda x: jnp.sum(geom.quat_to_mat(geom.qexp(x))))(q)
+        assert np.all(np.isfinite(np.asarray(g)))
+
 
 class TestLieVec:
     def test_matches_torch(self):
@@ -124,6 +132,14 @@ class TestLieVec:
         v = jnp.asarray((RNG.normal(size=(8, 3)) * 0.1).astype(np.float32))
         g = jax.grad(lambda x: jnp.sum(geom.lie_vec_to_mat(x)))(v)
         assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_grad_finite_at_zero(self):
+        v = jnp.zeros((4, 3), jnp.float32)
+        g = jax.grad(lambda x: jnp.sum(geom.lie_vec_to_mat(x)))(v)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # taylor branch derivative at 0 is the skew-matrix jacobian: each
+        # component appears twice (+-1) in R -> d sum(R) / dv = 0
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
 
 
 class TestDispatch:
