@@ -76,7 +76,8 @@ def test_eval_with_fused_heads(tmp_path, fake_real_root):  # noqa: F811
     (interpreter on CPU) end-to-end via config plumbing."""
     cfg = _small_cfg(tmp_path, fake_real_root)
     apply_overrides(cfg, ["SOLVER.TOTAL_EPOCHS=1", "MODEL.FUSED_HEADS=True",
-                          "MODEL.FUSED_HEADS_TRAIN=True"])
+                          "MODEL.FUSED_HEADS_TRAIN=True",
+                          "MODEL.FUSED_ENCODER_TRAIN=True"])
     cfg["OUTPUT_DIR"] = str(tmp_path / "out_fused")
     do_train(cfg, resume=False)
     results = do_test(cfg)
