@@ -144,3 +144,44 @@ def test_load_depth_16bit(tmp_path, fake_real_root):
     d = load_depth(p)
     assert d.dtype == np.float32
     assert d.max() == pytest.approx(1.0)
+
+
+def test_test_loader_interleaved_empties_and_partial_group(fake_real_root):
+    """The double-buffered test pipeline must account for EVERY record exactly
+    once: undecodable records (no annotations) yield empty markers, decodable
+    ones appear in fixed-size flattened groups, and a trailing partial group
+    is padded (valid=False, scene_im_id=None) rather than dropped."""
+    ds = NOCSDataset("nocs_test_real", image_root=fake_real_root, use_cache=False)
+    base = ds()  # 2 valid frames
+
+    # build 5 valid records (reusing the two on-disk frames) + 3 undecodable
+    records = []
+    for i in range(5):
+        rec = dict(base[i % 2])
+        rec["scene_im_id"] = f"scene_1/{i:04d}v"
+        records.append(rec)
+        if i < 3:
+            records.append({"scene_im_id": f"scene_1/{i:04d}e", "annotations": [],
+                            "height": meta.IM_HEIGHT, "width": meta.IM_WIDTH,
+                            "depth_file": "missing.png",
+                            "cam": np.asarray(meta.REAL_INTRINSICS)})
+
+    cfg = LoaderConfig(num_pcl=64, max_objs_per_image=2, aug_depth=False)
+    loader = CATRELoader(records, cfg, phase="test", ims_per_batch=2)
+
+    seen_valid, seen_empty = [], []
+    for batch in loader:
+        if batch.get("empty"):
+            seen_empty.append(batch["scene_im_ids"][0])
+            continue
+        assert len(batch["scene_im_ids"]) == 2  # padded to ims_per_batch
+        assert batch["pcl"].shape == (4, 64, 3)
+        for i, sid in enumerate(batch["scene_im_ids"]):
+            if sid is None:  # final-group padding image
+                rows = np.asarray(batch["valid"])[np.asarray(batch["im_id"]) == i]
+                assert not rows.any()
+            else:
+                seen_valid.append(sid)
+
+    assert sorted(seen_valid) == [f"scene_1/{i:04d}v" for i in range(5)]
+    assert sorted(seen_empty) == [f"scene_1/{i:04d}e" for i in range(3)]
