@@ -96,3 +96,17 @@ def test_comm_single_process():
     assert comm.all_gather({"a": 1}) == [{"a": 1}]
     assert comm.reduce_dict({"x": 2.0}) == {"x": 2.0}
     comm.synchronize()
+
+
+def test_inference_slice_covers_exactly_once():
+    """The contiguous split must partition [0, n) exactly (every record on
+    exactly one rank), including n < world and n % world != 0."""
+    from catre_tpu.parallel import comm
+
+    for n in (0, 1, 3, 7, 8, 9, 100):
+        for world in (1, 2, 3, 8):
+            ids = []
+            for rank in range(world):
+                sl = comm.inference_slice(n, rank, world)
+                ids.extend(range(n)[sl])
+            assert ids == list(range(n)), (n, world, ids)
