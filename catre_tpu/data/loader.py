@@ -286,6 +286,11 @@ def _make_group_sampler(cfg: LoaderConfig):
     M = cfg.max_objs_per_image
 
     def one(key, depth, K, packed, poses, scales):
+        if depth.dtype == jnp.uint16:
+            # test-phase depth ships as raw millimeters (half the bytes of
+            # f32); f32(u16)/1000 is exactly rounded, bit-identical to the
+            # host's load_depth value
+            depth = depth.astype(jnp.float32) / 1000.0
         cloud = backproject(depth, K)
         bits = jnp.arange(M, dtype=packed.dtype)[:, None, None]
         masks = (jnp.right_shift(packed[None, :, :], bits) & 1).astype(bool)
@@ -434,8 +439,15 @@ class CATRELoader:
             for i in range(m.shape[0]):
                 p |= m[i].astype(dt) << dt(i)
             packed.append(p)
+        depth_s = stack([d["depth"] for d in datas])
+        if self.phase == "test" and float(depth_s.max()) * 1000.0 < 65535.5:
+            # un-augmented depth is mm-quantized (load_depth: u16/1000) —
+            # re-quantize for the transfer; round() undoes the two float
+            # roundings exactly for all u16 values. Train depth carries float
+            # augmentation noise and stays f32.
+            depth_s = np.round(depth_s * 1000.0).astype(np.uint16)
         outs = self._group_sampler(
-            keys, stack([d["depth"] for d in datas]), stack([d["K"] for d in datas]),
+            keys, depth_s, stack([d["K"] for d in datas]),
             stack(packed),
             stack([p for p, _ in crop]), stack([s for _, s in crop]),
         )

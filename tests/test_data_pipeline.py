@@ -115,9 +115,11 @@ def test_loader_test_phase(fake_real_root):
     assert b["valid"].sum() == 1
     assert b["obj_cls"][0] == 0
     assert bool(b["sym_flag"][0])  # bottle is y-axis symmetric
-    # sampled points lie on the z=1 plate near the gt translation
+    # sampled points lie on the z=1 plate near the gt translation; the
+    # equality is EXACT — the test-phase u16-mm depth transfer must be
+    # bit-identical to the host f32 value (1000 mm -> 1.0)
     pcl0 = b["pcl"][0]
-    np.testing.assert_allclose(pcl0[:, 2], 1.0, atol=1e-3)
+    assert np.all(pcl0[:, 2] == np.float32(1.0))
     t = b["obj_pose"][0, :, 3]
     assert np.linalg.norm(pcl0.mean(axis=0) - t) < 0.05
     assert b["obj_mean_points"].shape == (4, 1024, 3)
