@@ -226,21 +226,13 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     n_images = 0
     start = time.perf_counter()
 
-    for i, batch in enumerate(loader):
-        if batch.get("empty"):
-            continue
-        t0 = time.perf_counter()
-        # host numpy in, host numpy out (for mean_shape): put() then ships
-        # every input in a single host->sharded-placement transfer
-        obj_kps = select_kps(
-            kps_type, mean_points=batch["obj_mean_points"],
-            scale_est=batch["obj_scale_est"], num_kps=num_kps,
-        )
-        poses, scales = refine_fn(
-            params, put(batch["pcl"]), put(obj_kps),
-            put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
-            put(batch["K"]), put(batch["obj_mean_scales"]),
-        )
+    def finish(entry):
+        """Fetch one in-flight refine result and run the host bookkeeping.
+        Deferred by one batch: jax dispatch is async, so batch k's refinement
+        computes on device while the loader decodes batch k+1 (which itself
+        double-buffers its sampler) — the fetch here lands after the overlap."""
+        nonlocal total_compute, total_process, n_images
+        i, batch, poses, scales, t0 = entry
         poses = np.asarray(poses)  # sync (block_until_ready unreliable on axon)
         scales = np.asarray(scales)
         if i >= warmup:
@@ -268,6 +260,29 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                                   cls_all[sel], scores_all[sel], bb_all[sel])
         if i >= warmup:
             total_process += time.perf_counter() - t1
+
+    pending = None
+    for i, batch in enumerate(loader):
+        if batch.get("empty"):
+            continue
+        t0 = time.perf_counter()
+        # host numpy in, host numpy out (for mean_shape): put() then ships
+        # every input in a single host->sharded-placement transfer
+        obj_kps = select_kps(
+            kps_type, mean_points=batch["obj_mean_points"],
+            scale_est=batch["obj_scale_est"], num_kps=num_kps,
+        )
+        poses, scales = refine_fn(
+            params, put(batch["pcl"]), put(obj_kps),
+            put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
+            put(batch["K"]), put(batch["obj_mean_scales"]),
+        )
+        entry = (i, batch, poses, scales, t0)
+        if pending is not None:
+            finish(pending)
+        pending = entry
+    if pending is not None:
+        finish(pending)
 
     wall = time.perf_counter() - start
     stats = {
