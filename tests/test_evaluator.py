@@ -160,3 +160,25 @@ def test_mesh_eval_matches_single_device(fake_real_root):  # noqa: F811
         np.testing.assert_allclose(
             results["single"][it]["iou_aps"], results["mesh"][it]["iou_aps"], atol=1e-7
         )
+
+
+def test_run_inference_warmup_accounting(fake_real_root):  # noqa: F811
+    """Deferred (overlapped) fetch must keep the warmup-skipped stats right:
+    warmup batches are excluded from timing counts but their predictions are
+    still processed."""
+    dicts = _dicts_with_init(fake_real_root, noise=0.0)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+
+    loader = CATRELoader(dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4,
+                                             aug_depth=False),
+                         phase="test", ims_per_batch=1)
+    evaluator = CATREEvaluator(dicts, n_iters=1)
+    stats = run_inference(refine, params, iter(loader), evaluator,
+                          n_iters=1, warmup=1)
+    assert stats["images"] == 1  # first batch excluded from timing
+    # but BOTH frames were evaluated
+    assert len(evaluator._preds[0]) == 2 and len(evaluator._preds[1]) == 2
+    assert stats["compute_s_per_img"] > 0
