@@ -48,21 +48,26 @@ def select_kps(kps_type: str, mean_points: jnp.ndarray | None = None,
                scale_est: jnp.ndarray | None = None,
                fps_points: jnp.ndarray | None = None,
                num_kps: int = 1024, with_neg_axis: bool = False) -> jnp.ndarray:
-    """Return (B, K, 3) normalized prior keypoints per KPS_TYPE."""
+    """Return (B, K, 3) normalized prior keypoints per KPS_TYPE.
+
+    Stays in the caller's array world: numpy in -> numpy out (the bbox/axis
+    tables are tiny host broadcasts), jax in -> jax out. The inference path
+    feeds host numpy and ships the result in its single put() transfer — a
+    jnp result here would force a device->host fetch before the re-upload
+    (an extra relay round trip per batch)."""
     kt = kps_type.lower()
     if kt == "mean_shape":
         assert mean_points is not None
         return mean_points
-    if kt == "bbox":
-        assert scale_est is not None
-        b = scale_est.shape[0]
-        return jnp.broadcast_to(jnp.asarray(normed_bbox_corners())[None], (b, 8, 3))
     if kt == "fps":
         assert fps_points is not None and scale_est is not None
         return fps_points / scale_est[:, None, :]
+    assert scale_est is not None
+    xp = np if isinstance(scale_est, np.ndarray) else jnp
+    b = scale_est.shape[0]
+    if kt == "bbox":
+        return xp.broadcast_to(xp.asarray(normed_bbox_corners())[None], (b, 8, 3))
     if kt == "axis":
-        assert scale_est is not None
-        b = scale_est.shape[0]
-        axis = jnp.asarray(normed_axis_points(num_kps, with_neg_axis))
-        return jnp.broadcast_to(axis[None], (b,) + axis.shape)
+        axis = xp.asarray(normed_axis_points(num_kps, with_neg_axis))
+        return xp.broadcast_to(axis[None], (b,) + axis.shape)
     raise NotImplementedError(f"Unknown keypoints type {kps_type}")

@@ -233,6 +233,8 @@ def do_train(cfg, resume: bool = False) -> None:
         loader2_iter = iter(CATRELoader(
             dicts2, loader_cfg, phase="train",
             ims_per_batch=ims_local, seed=1 + max(cfg.get("SEED", 0), 0),
+            max_objs_train=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
+            num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
             rank=rank, world_size=world,
         ))
 
@@ -253,9 +255,12 @@ def do_train(cfg, resume: bool = False) -> None:
     warm_epochs = int(cfg.MODEL.CATRE.N_ITER_TRAIN_WARM_EPOCH)
     step_fns = {}
 
+    want_vis_payload = bool(cfg.TRAIN.get("VIS_IMG", False)) and world == 1
+
     def get_step_fn(n):
         if n not in step_fns:
-            step_fns[n] = make_train_step(model, mcfg, loss_cfg, noise_cfg, tx, sym_bank, n)
+            step_fns[n] = make_train_step(model, mcfg, loss_cfg, noise_cfg, tx, sym_bank,
+                                          n, with_vis=want_vis_payload)
         return step_fns[n]
 
     # resume -----------------------------------------------------------

@@ -172,10 +172,12 @@ def prepare_train_batch(key, batch: dict, noise_cfg: InputNoiseConfig) -> dict:
 
 def make_train_step(model: CATREDisRShared, cfg: CATREConfig, loss_cfg: LossConfig,
                     noise_cfg: InputNoiseConfig, tx: optax.GradientTransformation,
-                    sym_bank, n_iter: int):
+                    sym_bank, n_iter: int, with_vis: bool = False):
     """Build the jitted train step for a fixed number of refine iterations
     (the warmup schedule recompiles per n_iter value, at most N_ITER_TRAIN
-    times)."""
+    times). with_vis=True additionally emits the per-instance "_vis" payload
+    (TRAIN.VIS_IMG); off by default so non-vis runs don't materialize the
+    scan-stacked per-instance pose/scale arrays every step."""
     sym_bank = jnp.asarray(sym_bank)
 
     def loss_and_outputs(params, batch, pose_est, scale_est):
@@ -227,20 +229,21 @@ def make_train_step(model: CATREDisRShared, cfg: CATREConfig, loss_cfg: LossConf
             metrics["error_t"] = masked_mean(
                 translation_error(pose[:, :3, 3], batch["obj_pose"][:, :3, 3]), w
             )
-            # non-scalar vis payload (TRAIN.VIS_IMG, ref engine.py:370-422):
-            # per-iter predicted pose/scale + the (possibly augmented) gt the
-            # loss saw. Tiny (B x 15 floats/iter) and lazily fetched — the
-            # runner strips "_vis" before scalar logging.
-            metrics["_vis"] = {"pose": pose, "scale": scale}
+            if with_vis:
+                # non-scalar vis payload (TRAIN.VIS_IMG, ref engine.py:370-422):
+                # per-iter predicted pose/scale + the (possibly augmented) gt
+                # the loss saw — the runner strips "_vis" before scalar logging
+                metrics["_vis"] = {"pose": pose, "scale": scale}
             return (params, opt_state, pose_est, scale_est), metrics
 
         carry = (state.params, opt_state, batch["obj_pose_est"], batch["obj_scale_est"])
         (params, opt_state, _, _), metrics = jax.lax.scan(body, carry, None, length=n_iter)
-        metrics["_vis"]["gt_pose"] = batch["obj_pose"]
-        metrics["_vis"]["gt_scale"] = batch["obj_scale"]
-        metrics["_vis"]["init_pose"] = batch["obj_pose_est"]
-        metrics["_vis"]["valid"] = batch["valid"] if "valid" in batch else jnp.ones(
-            batch["pcl"].shape[0], dtype=bool)
+        if with_vis:
+            metrics["_vis"]["gt_pose"] = batch["obj_pose"]
+            metrics["_vis"]["gt_scale"] = batch["obj_scale"]
+            metrics["_vis"]["init_pose"] = batch["obj_pose_est"]
+            metrics["_vis"]["valid"] = batch["valid"] if "valid" in batch else jnp.ones(
+                batch["pcl"].shape[0], dtype=bool)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

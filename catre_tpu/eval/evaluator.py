@@ -70,6 +70,10 @@ class CATREEvaluator:
                 scores: np.ndarray, bboxes_yxyx: np.ndarray) -> None:
         """Store one image's predictions for one refine iteration
         (`catre_custom_evaluator.py:121-176`)."""
+        # new local predictions invalidate a previous gather: without this, a
+        # process() after gather_predictions() would let a later evaluate()
+        # skip the all_gather and silently drop other ranks' newer predictions
+        self._gathered = False
         self._preds[refine_i][scene_im_id] = {
             "pred_RTs": np.asarray(poses_4x4),
             "pred_scales": np.asarray(scales),
