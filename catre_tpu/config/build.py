@@ -195,7 +195,12 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         sample_depth_from_ball=bool(inp.get("SAMPLE_DEPTH_FROM_BALL", True)),
         fps_sample=bool(inp.get("FPS_SAMPLE", False)),
         aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
+        drop_depth_prob=float(inp.get("DROP_DEPTH_PROB", 0.5)),
+        drop_depth_ratio=float(inp.get("DROP_DEPTH_RATIO", 0.2)),
+        add_noise_depth_prob=float(inp.get("ADD_NOISE_DEPTH_PROB", 0.9)),
+        add_noise_depth_level=float(inp.get("ADD_NOISE_DEPTH_LEVEL", 0.01)),
         occlude_mask_test=bool(inp.get("OCCLUDE_MASK_TEST", False)),
+        cache_decoded=str(cfg.DATALOADER.get("CACHE_DECODED", "")),
         pcl_with_color=bool(inp.get("PCL_WITH_COLOR", False)),
         color_aug_prob=float(inp.get("COLOR_AUG_PROB", 0.0)) if phase == "train" else 0.0,
         change_bg_prob=float(inp.get("CHANGE_BG_PROB", 0.0)) if phase == "train" else 0.0,

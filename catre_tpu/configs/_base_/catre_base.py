@@ -13,6 +13,11 @@ INPUT = dict(
     FORMAT="BGR",
     WITH_DEPTH=True,
     AUG_DEPTH=False,
+    # train depth-noise knobs (ref `configs/_base_/common_base.py:36-39`)
+    DROP_DEPTH_RATIO=0.2,
+    DROP_DEPTH_PROB=0.5,
+    ADD_NOISE_DEPTH_LEVEL=0.01,
+    ADD_NOISE_DEPTH_PROB=0.9,
     WITH_IMG=False,
     WITH_PCL=True,
     SAMPLE_DEPTH_FROM_BALL=True,
@@ -61,6 +66,11 @@ DATALOADER = dict(
     MAX_OBJS_TRAIN=120,
     MAX_OBJS_PER_IMAGE=8,
     FILTER_VISIB_THR=0.0,
+    # decoded-tensor cache: "" (decode every epoch, reference behavior),
+    # "ram" (memoize host decode, ~1 MB/frame), or "device" (keep the decoded
+    # dataset resident in HBM — steady-state training ships only PRNG keys +
+    # record indices; sized for REAL275-scale sets, ~4 GB for 4.3k frames)
+    CACHE_DECODED="",
 )
 
 SOLVER = dict(

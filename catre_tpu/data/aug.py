@@ -128,3 +128,31 @@ def add_noise_depth(key, depth: jnp.ndarray, level: float = 0.005) -> jnp.ndarra
     lvl = jax.random.uniform(k1, (), minval=0.0, maxval=level)
     noise = jax.random.normal(k2, depth.shape) * lvl
     return jnp.where(depth > 0, depth + noise, depth)
+
+
+def aug_depth(key, depth: jnp.ndarray, drop_depth_prob: float = 0.5,
+              drop_depth_ratio: float = 0.2, add_noise_depth_prob: float = 0.9,
+              add_noise_depth_level: float = 0.005) -> jnp.ndarray:
+    """Full train-phase depth augmentation, device-side.
+
+    Reference (`core/catre/datasets/data_loader.py:530-543`), in order:
+      1. fill zero pixels with N(median(zero pixels), 0.1) — the median of
+         the zero pixels is 0, so this is N(0, 0.1);
+      2. with prob drop_depth_prob, zero a random drop_depth_ratio fraction
+         of ALL pixels (keep_mask = U(0,1) > ratio);
+      3. with prob add_noise_depth_prob, add N(0, U(0, level)) to pixels > 0.
+
+    Host-side this forced train depth to ship as f32 (augmented values are
+    not mm-quantized); running it on device lets train depth travel as raw
+    uint16 millimeters like the test path — half the host->device bytes on
+    the input pipeline's critical path.
+    """
+    k_fill, k_coin_drop, k_drop, k_coin_noise, k_noise = jax.random.split(key, 5)
+    zero = depth == 0
+    depth = jnp.where(zero, 0.1 * jax.random.normal(k_fill, depth.shape), depth)
+    do_drop = jax.random.uniform(k_coin_drop) < drop_depth_prob
+    keep = jax.random.uniform(k_drop, depth.shape) > drop_depth_ratio
+    depth = jnp.where(do_drop & ~keep, 0.0, depth)
+    do_noise = jax.random.uniform(k_coin_noise) < add_noise_depth_prob
+    noisy = add_noise_depth(k_noise, depth, level=add_noise_depth_level)
+    return jnp.where(do_noise, noisy, depth)

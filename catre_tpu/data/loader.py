@@ -5,12 +5,21 @@ Behavioral reference: `core/catre/datasets/data_loader.py`
 `core/catre/engine/batching.py` (instance flattening).
 
 TPU-native split of responsibilities:
-  host   — image/depth/mask decode, depth augmentation (numpy), gt assembly
-  device — backprojection + per-instance ball-crop sampling (one jit per
-           image, `ops.sampling.batch_ball_crop`), everything downstream
+  host   — image/depth/mask decode, gt assembly
+  device — backprojection + depth augmentation + per-instance ball-crop
+           sampling (`ops.sampling.batch_ball_crop`), everything downstream
 The reference does all of this per-instance on CPU dataloader workers
 (`data_loader.py:576-611`); here the gathers run vectorized on the chip and
-the host only ships (depth, masks) once per image.
+the host only ships (u16 depth, bit-packed masks) once per image — or, with
+`cache_decoded="device"`, nothing at all after a one-time preload.
+
+RNG design: every random draw is POSITION-ADDRESSABLE — seeded from
+(seed, stream, position) rather than drawn from sequential stateful
+generators. `skip(n)` therefore fast-forwards the loader exactly (no decode,
+no replay), which makes `--resume` training bit-deterministic: a resumed run
+consumes the identical record/augmentation stream a straight-through run
+would have (the reference's torch DataLoader cannot do this — its worker RNG
+state is lost on restart).
 """
 
 from __future__ import annotations
@@ -28,6 +37,16 @@ from .nocs import rle_to_binary_mask
 
 logger = logging.getLogger(__name__)
 
+# RNG stream tags for the (seed, stream, position) seeding scheme
+_STREAM_HOST = 0     # per-record host-stage draws (test occlusion ablation)
+_STREAM_KEYS = 1     # per-image device sampler/aug PRNG key material
+_STREAM_EPOCH = 2    # per-epoch shuffle permutations (rank-shared)
+_STREAM_COLOR = 3    # per-image color/background augmentation
+
+
+def _derive_rng(seed: int, stream: int, pos: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence((seed, stream, pos)))
+
 
 @dataclass
 class LoaderConfig:
@@ -41,7 +60,7 @@ class LoaderConfig:
     drop_depth_prob: float = 0.5
     drop_depth_ratio: float = 0.2
     add_noise_depth_prob: float = 0.9
-    add_noise_depth_level: float = 0.005
+    add_noise_depth_level: float = 0.01  # reference default (common_base.py:38)
     occlude_mask_test: bool = False
     with_nocs: bool = False  # sample aligned NOCS coords (nocs-head variants)
     pcl_with_color: bool = False  # sample aligned RGB (INPUT.PCL_WITH_COLOR)
@@ -49,6 +68,13 @@ class LoaderConfig:
     change_bg_prob: float = 0.0   # INPUT.CHANGE_BG_PROB (train, RGB path)
     bg_image_dir: str = ""        # background still-image pool
     max_objs_per_image: int = 8
+    # decoded-tensor cache (DATALOADER.CACHE_DECODED): "" = decode every
+    # epoch (reference behavior); "ram" = memoize the host decode per record
+    # (u16 depth + bit-packed masks, ~1 MB/frame — skips cv2 from epoch 2);
+    # "device" = additionally keep the stacked per-record tensors resident in
+    # HBM, so steady-state training ships only PRNG keys + record indices per
+    # step (the answer to input-starved chips on low-bandwidth hosts)
+    cache_decoded: str = ""
     # optional per-frame previous-frame estimates for the last_frame init
     # mode (INPUT.INIT_POSE_TRAIN_PATH): dict scene_im_id -> (n_inst, 3, 5)
     # [R | t | s] arrays aligned with annotation order
@@ -88,24 +114,6 @@ def load_depth(path: str) -> np.ndarray:
         depth16 = depth[:, :, 1].astype(np.uint16) * 256 + depth[:, :, 2].astype(np.uint16)
         depth = depth16
     return depth.astype(np.float32) / 1000.0
-
-
-def aug_depth_np(rng: np.random.Generator, depth: np.ndarray, cfg: LoaderConfig) -> np.ndarray:
-    """Depth augmentation (train): fill zeros with median-noise, random 20%
-    drop, gaussian noise (`data_loader.py:530-543`)."""
-    depth = depth.copy()
-    zero_idx = depth == 0
-    if zero_idx.any():
-        med = np.median(depth[zero_idx]) if np.isfinite(np.median(depth[zero_idx])) else 0.0
-        depth[zero_idx] = rng.normal(med, 0.1, size=int(zero_idx.sum()))
-    if rng.random() < cfg.drop_depth_prob:
-        keep = rng.uniform(0, 1, size=depth.shape) > cfg.drop_depth_ratio
-        depth = depth * keep
-    if rng.random() < cfg.add_noise_depth_prob:
-        level = rng.uniform(0, cfg.add_noise_depth_level)
-        noise = rng.normal(0, level, size=depth.shape)
-        depth = np.where(depth > 0, depth + noise, depth)
-    return depth.astype(np.float32)
 
 
 def occlude_mask_by_bbox(rng: np.random.Generator, mask: np.ndarray, bbox) -> np.ndarray:
@@ -148,11 +156,45 @@ def mask_from_annotation(anno: dict, h: int, w: int) -> np.ndarray:
     return m
 
 
+def _mask_pack_dtype(m: int):
+    """Narrowest uint dtype with >= m bits (bit-per-instance mask packing),
+    or None when m > 32 — the caller then ships unpacked (M, H, W) bool masks
+    (REAL275 never exceeds ~20 instances; the packed path is a transfer
+    optimization, not a capability limit)."""
+    for dt, bits in ((np.uint8, 8), (np.uint16, 16), (np.uint32, 32)):
+        if m <= bits:
+            return dt
+    return None
+
+
+def _pack_masks(masks: np.ndarray):
+    """(M, H, W) bool -> (H, W) uint with bit i set where instance i is
+    masked; passthrough (the bool stack itself) when M > 32."""
+    dt = _mask_pack_dtype(masks.shape[0])
+    if dt is None:
+        return masks
+    p = np.zeros(masks.shape[1:], dtype=dt)
+    for i in range(masks.shape[0]):
+        p |= masks[i].astype(dt) << dt(i)
+    return p
+
+
+def _quantize_depth(depth: np.ndarray) -> np.ndarray:
+    """f32 meters -> raw uint16 millimeters when exactly representable (depth
+    decoded by load_depth always is: u16/1000 -> round(x*1000) round-trips
+    bit-identically). Returns f32 unchanged otherwise (synthetic depth with
+    out-of-range values)."""
+    if float(depth.max()) * 1000.0 < 65535.5 and float(depth.min()) >= 0.0:
+        return np.round(depth * 1000.0).astype(np.uint16)
+    return depth
+
+
 def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
                          rng: np.random.Generator, mean_points: np.ndarray,
                          mean_scales: np.ndarray) -> dict | None:
     """Host part of one image: decode + per-instance gt assembly, padded to
-    cfg.max_objs_per_image."""
+    cfg.max_objs_per_image. Depth augmentation happens DEVICE-side (inside
+    the group sampler) so depth ships as u16 (`depth_ship`) in both phases."""
     annos = record.get("annotations", [])
     if not annos:
         return None
@@ -162,8 +204,6 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
     m = cfg.max_objs_per_image
 
     depth = load_depth(record["depth_file"])
-    if phase == "train" and cfg.aug_depth:
-        depth = aug_depth_np(rng, depth, cfg)
 
     masks = np.zeros((m, h, w), dtype=bool)
     classes = np.zeros(m, dtype=np.int32)
@@ -201,9 +241,10 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
             bboxes[i] = bb
 
     return {
-        "depth": depth,
+        "depth_ship": _quantize_depth(depth),
+        "masks_packed": _pack_masks(masks),
+        "fg_any": masks.any(axis=0) if (cfg.pcl_with_color and cfg.change_bg_prob > 0) else None,
         "K": np.asarray(record["cam"], dtype=np.float32),
-        "masks": masks,
         "obj_cls": classes,
         "obj_pose": poses,
         "obj_scale": scales,
@@ -228,81 +269,94 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
 _SAMPLER_CACHE: dict = {}
 
 
-def _sampler_cache_key(cfg: LoaderConfig, kind: str):
-    return (kind, cfg.depth_sample_ball_ratio, cfg.num_pcl, cfg.fps_sample,
-            cfg.max_objs_per_image)
+def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
+    key = (kind, cfg.depth_sample_ball_ratio, cfg.num_pcl, cfg.fps_sample,
+           cfg.max_objs_per_image, train_aug)
+    if train_aug:
+        key += (cfg.drop_depth_prob, cfg.drop_depth_ratio,
+                cfg.add_noise_depth_prob, cfg.add_noise_depth_level)
+    return key
 
 
-def _make_image_sampler(cfg: LoaderConfig):
-    """Jitted per-image device pipeline: backproject + masked ball-crop.
-    Returns pcls (M, num_pcl, 3)."""
+def _make_one_image_fn(cfg: LoaderConfig, train_aug: bool):
+    """Device pipeline for one image: u16 decode -> (train) depth aug ->
+    backproject -> masked ball-crop. `packed` is the bit-packed (H, W) uint
+    mask word, or the unpacked (M, H, W) bool stack when M > 32."""
+    from .aug import aug_depth
     from ..geom.transforms import backproject
     from ..ops.sampling import batch_ball_crop
-
-    ck = _sampler_cache_key(cfg, "image")
-    if ck in _SAMPLER_CACHE:
-        return _SAMPLER_CACHE[ck]
-
-    @jax.jit
-    def sample(key, depth, K, masks, poses, scales):
-        cloud = backproject(depth, K)
-        pcls, idx, n_inside = batch_ball_crop(
-            key, cloud, masks, poses, scales,
-            ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
-            fps_sample=cfg.fps_sample,
-        )
-        return pcls, idx, n_inside
-
-    _SAMPLER_CACHE[ck] = sample
-    return sample
-
-
-def _mask_pack_dtype(m: int):
-    """Narrowest uint dtype with >= m bits (bit-per-instance mask packing)."""
-    for dt, bits in ((np.uint8, 8), (np.uint16, 16), (np.uint32, 32)):
-        if m <= bits:
-            return dt
-    raise ValueError(f"max_objs_per_image={m} > 32 not supported by mask packing")
-
-
-def _make_group_sampler(cfg: LoaderConfig):
-    """Group-level device pipeline: backproject + ball-crop vmapped over a
-    whole flush group of images in ONE jitted dispatch. Per-image dispatches
-    dominate the input pipeline on remote/high-latency device links (measured
-    4.7 img/s per-image vs one call per ims_per_batch group); batching them
-    amortizes the launch latency and gives XLA G x M instances of parallel
-    work instead of M.
-
-    Instance masks travel BIT-PACKED — one (H, W) uint with bit i set where
-    instance i is masked (M x smaller host->device transfer than (M, H, W)
-    bool; unpacking is a shift+and on device)."""
-    from ..geom.transforms import backproject
-    from ..ops.sampling import batch_ball_crop
-
-    ck = _sampler_cache_key(cfg, "group")
-    if ck in _SAMPLER_CACHE:
-        return _SAMPLER_CACHE[ck]
 
     M = cfg.max_objs_per_image
 
     def one(key, depth, K, packed, poses, scales):
         if depth.dtype == jnp.uint16:
-            # test-phase depth ships as raw millimeters (half the bytes of
-            # f32); f32(u16)/1000 is exactly rounded, bit-identical to the
-            # host's load_depth value
+            # depth ships as raw millimeters (half the bytes of f32);
+            # f32(u16)/1000 is exactly rounded, bit-identical to the host's
+            # load_depth value
             depth = depth.astype(jnp.float32) / 1000.0
+        if train_aug:
+            # train-phase depth aug runs here, device-side (reference does it
+            # on host workers, `data_loader.py:530-543`, which would force an
+            # f32 depth transfer)
+            key, k_aug = jax.random.split(key)
+            depth = aug_depth(
+                k_aug, depth, drop_depth_prob=cfg.drop_depth_prob,
+                drop_depth_ratio=cfg.drop_depth_ratio,
+                add_noise_depth_prob=cfg.add_noise_depth_prob,
+                add_noise_depth_level=cfg.add_noise_depth_level,
+            )
         cloud = backproject(depth, K)
-        bits = jnp.arange(M, dtype=packed.dtype)[:, None, None]
-        masks = (jnp.right_shift(packed[None, :, :], bits) & 1).astype(bool)
+        if packed.ndim == 3:  # unpacked (M, H, W) bool fallback for M > 32
+            masks = packed
+        else:
+            bits = jnp.arange(M, dtype=packed.dtype)[:, None, None]
+            masks = (jnp.right_shift(packed[None, :, :], bits) & 1).astype(bool)
         return batch_ball_crop(
             key, cloud, masks, poses, scales,
             ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
             fps_sample=cfg.fps_sample,
         )
 
+    return one
+
+
+def _make_group_sampler(cfg: LoaderConfig, train_aug: bool):
+    """Group-level device pipeline vmapped over a whole flush group of images
+    in ONE jitted dispatch. Per-image dispatches dominate the input pipeline
+    on remote/high-latency device links (measured 4.7 img/s per-image vs one
+    call per ims_per_batch group); batching them amortizes the launch latency
+    and gives XLA G x M instances of parallel work instead of M."""
+    ck = _sampler_cache_key(cfg, "group", train_aug)
+    if ck in _SAMPLER_CACHE:
+        return _SAMPLER_CACHE[ck]
+
+    one = _make_one_image_fn(cfg, train_aug)
+
     @jax.jit
     def sample(keys, depths, Ks, packed, poses, scales):
         return jax.vmap(one)(keys, depths, Ks, packed, poses, scales)
+
+    _SAMPLER_CACHE[ck] = sample
+    return sample
+
+
+def _make_cached_group_sampler(cfg: LoaderConfig, train_aug: bool):
+    """Device-cache variant: the per-record tensors live in HBM; the host
+    ships only (keys, record indices) per group and the gathers happen
+    on-device."""
+    ck = _sampler_cache_key(cfg, "cached_group", train_aug)
+    if ck in _SAMPLER_CACHE:
+        return _SAMPLER_CACHE[ck]
+
+    one = _make_one_image_fn(cfg, train_aug)
+
+    @jax.jit
+    def sample(depth_all, packed_all, K_all, pose_all, scale_all, keys, idx):
+        def one_i(key, i):
+            return one(key, depth_all[i], K_all[i], packed_all[i],
+                       pose_all[i], scale_all[i])
+
+        return jax.vmap(one_i)(keys, idx)
 
     _SAMPLER_CACHE[ck] = sample
     return sample
@@ -320,7 +374,8 @@ class CATRELoader:
 
     def __init__(self, dataset_dicts: list, cfg: LoaderConfig, phase: str = "train",
                  ims_per_batch: int = 16, seed: int = 0, max_objs_train: int = 128,
-                 num_workers: int = 0, rank: int = 0, world_size: int = 1):
+                 num_workers: int = 0, rank: int = 0, world_size: int = 1,
+                 device_batches: bool = False):
         assert phase in ("train", "test")
         self.dicts = dataset_dicts
         self.cfg = cfg
@@ -330,19 +385,26 @@ class CATRELoader:
         self.num_workers = num_workers
         self.rank = rank
         self.world_size = world_size
-        # aug rng is per-rank (reference: per-worker seeds); the epoch
-        # permutation rng is SHARED (same seed on every rank) so the
-        # rank-strided split partitions one global shuffle
-        # (`my_distributed_sampler.py:12-55`)
-        self.rng = np.random.default_rng(seed + 7919 * rank)
-        self._perm_rng = np.random.default_rng(seed)
-        self.key = jax.random.PRNGKey(seed + 7919 * rank)
-        # host-side stream for the raw uint32 sampler keys (relay-cheap)
-        self._key_rng = np.random.default_rng(seed + 7919 * rank + 17)
-        self._sampler = _make_image_sampler(cfg)
-        self._group_sampler = _make_group_sampler(cfg)
+        self.seed = int(seed)
+        # device_batches: leave the sampled clouds ON DEVICE (train,
+        # single-process): the consumer jits over them directly, skipping the
+        # sampler-output fetch AND the batch re-upload (2 x ~12 MB per B=512
+        # batch through a 78 MB/s relay link). Incompatible with the
+        # per-point-index paths (nocs/rgb) and the multi-process global-batch
+        # assembly (host_local_array_to_global_array wants host numpy).
+        self.device_batches = bool(device_batches) and phase == "train"
+        if self.device_batches and (cfg.with_nocs or cfg.pcl_with_color):
+            raise ValueError("device_batches is incompatible with WITH_NOCS /"
+                             " PCL_WITH_COLOR (they consume host pixel indices)")
+        # position counter of this rank's record stream; skip() advances it.
+        # All randomness derives from (seed, stream, position) so the stream
+        # is identical whether positions are consumed or skipped.
+        self._pos = 0
+        self._train_aug = cfg.aug_depth and phase == "train"
+        self._sampler = _make_group_sampler(cfg, self._train_aug)
         self._mean_points = assets.mean_shape_array()
         self._mean_scales = meta.mean_scales_array()
+        self._perm_cache: tuple | None = None  # (epoch, permutation)
         self._last_frame = None
         if cfg.init_pose_train_path:
             import pickle
@@ -350,24 +412,102 @@ class CATRELoader:
             with open(cfg.init_pose_train_path, "rb") as f:
                 self._last_frame = pickle.load(f)
 
-    def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
+        self.cache_mode = cfg.cache_decoded or ""
+        if self.cache_mode not in ("", "ram", "device"):
+            raise ValueError(f"unknown cache_decoded mode {self.cache_mode!r}")
+        if self.cache_mode:
+            if cfg.occlude_mask_test and phase == "test":
+                raise ValueError("cache_decoded is incompatible with "
+                                 "OCCLUDE_MASK_TEST (per-epoch mask mutation)")
+            if cfg.with_nocs or cfg.pcl_with_color:
+                raise ValueError("cache_decoded supports the depth-only path "
+                                 "(WITH_NOCS / PCL_WITH_COLOR need per-point "
+                                 "pixel indices and image decode)")
+        self._ram_cache: dict = {}
+        self._dev = None
+        if self.cache_mode == "device":
+            self._build_device_cache()
 
-    def _host_part(self, record: dict, seed: int) -> dict | None:
-        """Thread-safe host stage: decode + gt assembly (own RNG per call)."""
-        return _gather_image_record(
-            record, self.cfg, self.phase, np.random.default_rng(seed),
+    # ---------------------------------------------------------------- RNG
+    def _record_rng(self, g: int) -> np.random.Generator:
+        return _derive_rng(self.seed, _STREAM_HOST, g)
+
+    def _image_key(self, g: int) -> np.ndarray:
+        """Raw (2,) uint32 PRNG key for image at global stream position g
+        (host-built: jax.random.split round trips cost two device hops per
+        group on the relay)."""
+        return _derive_rng(self.seed, _STREAM_KEYS, g).integers(
+            0, 2 ** 32, size=2, dtype=np.uint32)
+
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        """Shared-seed epoch permutation: same on every rank so the
+        rank-strided split partitions one global shuffle
+        (`my_distributed_sampler.py:12-55`)."""
+        if self._perm_cache is not None and self._perm_cache[0] == epoch:
+            return self._perm_cache[1]
+        perm = _derive_rng(self.seed, _STREAM_EPOCH, epoch).permutation(len(self.dicts))
+        self._perm_cache = (epoch, perm)
+        return perm
+
+    def skip(self, n_images: int) -> None:
+        """Fast-forward the stream by n_images records (this rank's count)
+        without decoding — used by --resume to reproduce the exact
+        record/augmentation stream of an uninterrupted run."""
+        self._pos += int(n_images)
+
+    # ------------------------------------------------------------- streams
+    def _train_records(self):
+        """Rank-strided slice of the infinite shuffled index stream (the
+        reference's `TrainingSampler`, `my_distributed_sampler.py:12-55`).
+        Yields (g, didx, record): global stream position, dataset index."""
+        n = len(self.dicts)
+        while True:
+            g = self.rank + self._pos * self.world_size
+            didx = int(self._epoch_perm(g // n)[g % n])
+            self._pos += 1
+            yield g, didx, self.dicts[didx]
+
+    def _test_records(self):
+        for didx in range(self._pos, len(self.dicts)):
+            self._pos = didx + 1
+            yield didx, didx, self.dicts[didx]
+
+    def _host_part(self, g: int, didx: int, record: dict) -> dict | None:
+        """Thread-safe host stage: decode + gt assembly. With a cache mode,
+        the decode is memoized per dataset index (the host stage is
+        deterministic per record — all augmentation is positional or
+        device-side)."""
+        if self.cache_mode and didx in self._ram_cache:
+            cached = self._ram_cache[didx]
+            if cached is None:
+                return None
+            data = dict(cached)
+            # recomputed on hit: (M, 1024, 3) per record would triple the
+            # cache footprint for an indexed view of a (6, 1024, 3) constant
+            data["obj_mean_points"] = self._mean_points[data["obj_cls"]]
+            data["obj_mean_scales"] = self._mean_scales[data["obj_cls"]]
+            return data
+        data = _gather_image_record(
+            record, self.cfg, self.phase, self._record_rng(g),
             self._mean_points, self._mean_scales,
         )
+        if self.cache_mode:
+            if data is None:
+                self._ram_cache[didx] = None
+            else:
+                stripped = {k: v for k, v in data.items()
+                            if k not in ("obj_mean_points", "obj_mean_scales")}
+                self._ram_cache[didx] = stripped
+                data = dict(data)
+        return data
 
     def _host_stream(self, records):
         """Host-stage stream, threaded when num_workers > 0 (cv2/pickle
         release the GIL — the reference uses torch DataLoader worker
-        processes, `DATALOADER.NUM_WORKERS`)."""
+        processes, `DATALOADER.NUM_WORKERS`). Yields (g, record, data)."""
         if self.num_workers <= 0:
-            for rec in records:
-                yield rec, self._host_part(rec, int(self.rng.integers(2 ** 31)))
+            for g, didx, rec in records:
+                yield g, rec, self._host_part(g, didx, rec)
             return
         import collections
         from concurrent.futures import ThreadPoolExecutor
@@ -377,20 +517,18 @@ class CATRELoader:
             records = iter(records)
             try:
                 for _ in range(2 * self.num_workers):
-                    rec = next(records)
-                    queue.append((rec, pool.submit(
-                        self._host_part, rec, int(self.rng.integers(2 ** 31)))))
+                    g, didx, rec = next(records)
+                    queue.append((g, rec, pool.submit(self._host_part, g, didx, rec)))
             except StopIteration:
                 records = iter(())
             while queue:
-                rec, fut = queue.popleft()
+                g, rec, fut = queue.popleft()
                 try:
-                    nxt = next(records)
-                    queue.append((nxt, pool.submit(
-                        self._host_part, nxt, int(self.rng.integers(2 ** 31)))))
+                    gn, didxn, nxt = next(records)
+                    queue.append((gn, nxt, pool.submit(self._host_part, gn, didxn, nxt)))
                 except StopIteration:
                     pass
-                yield rec, fut.result()
+                yield g, rec, fut.result()
 
     def _crop_args(self, data: dict):
         # ball center/radius: gt pose at train, estimate at test
@@ -398,28 +536,17 @@ class CATRELoader:
             return data["obj_pose"], data["obj_scale"]
         return data["obj_pose_est"], data["obj_scale_est"]
 
-    def _device_part(self, record: dict, data: dict) -> dict:
-        poses_for_crop, scales_for_crop = self._crop_args(data)
-        pcls, idx, n_inside = self._sampler(
-            self._next_key(), jnp.asarray(data["depth"]), jnp.asarray(data["K"]),
-            jnp.asarray(data["masks"]), jnp.asarray(poses_for_crop),
-            jnp.asarray(scales_for_crop),
-        )
-        data["pcl"] = np.asarray(pcls)
-        data["pcl_idx"] = np.asarray(idx)  # flat pixel index per sampled point
-        data["n_inside"] = np.asarray(n_inside)
-        return self._post_device(record, data)
-
+    # ------------------------------------------------------- device stage
     def _dispatch_group(self, items: list):
         """Launch the device stage for a whole flush group in ONE jitted
         dispatch (stacked + vmapped ball-crop; see _make_group_sampler) and
         return a handle WITHOUT fetching — the caller finalizes one group
         behind, overlapping device work with the next group's host decode.
         The stack is padded to ims_per_batch so the sampler compiles exactly
-        once; padding rows are discarded."""
+        once; padding rows are discarded. items: [(g, record, data), ...]."""
         G = len(items)
         pad = max(self.ims_per_batch, G)
-        datas = [d for _, d in items]
+        datas = [d for _, _, d in items]
 
         def stack(arrs):
             a = np.stack(arrs)
@@ -428,35 +555,35 @@ class CATRELoader:
             return a
 
         crop = [self._crop_args(d) for d in datas]
-        # host-built raw uint32 PRNG keys: jax.random.split here would cost
-        # two extra device round-trips per group on the relay
-        keys = self._key_rng.integers(0, 2 ** 32, size=(pad, 2), dtype=np.uint32)
-        dt = _mask_pack_dtype(self.cfg.max_objs_per_image)
-        packed = []
-        for d in datas:
-            m = d["masks"]  # (M, H, W) bool
-            p = np.zeros(m.shape[1:], dtype=dt)
-            for i in range(m.shape[0]):
-                p |= m[i].astype(dt) << dt(i)
-            packed.append(p)
-        depth_s = stack([d["depth"] for d in datas])
-        if self.phase == "test" and float(depth_s.max()) * 1000.0 < 65535.5:
-            # un-augmented depth is mm-quantized (load_depth: u16/1000) —
-            # re-quantize for the transfer; round() undoes the two float
-            # roundings exactly for all u16 values. Train depth carries float
-            # augmentation noise and stays f32.
-            depth_s = np.round(depth_s * 1000.0).astype(np.uint16)
-        outs = self._group_sampler(
-            keys, depth_s, stack([d["K"] for d in datas]),
-            stack(packed),
+        keys = stack([self._image_key(g) for g, _, _ in items])
+        depth_s = [d["depth_ship"] for d in datas]
+        if any(d.dtype != np.uint16 for d in depth_s):
+            # mixed-representability group (synthetic out-of-range depth):
+            # ship everything f32
+            depth_s = [d.astype(np.float32) / 1000.0 if d.dtype == np.uint16 else d
+                       for d in depth_s]
+        outs = self._sampler(
+            keys, stack(depth_s), stack([d["K"] for d in datas]),
+            stack([d["masks_packed"] for d in datas]),
             stack([p for p, _ in crop]), stack([s for _, s in crop]),
         )
         return items, outs
 
     def _finalize_group(self, handle) -> list:
         """Fetch a dispatched group's results (single round trip) and run the
-        per-image host post stage."""
+        per-image host post stage. In device_batches mode nothing is fetched:
+        the stacked cloud stays on device and rides to _flatten via the first
+        image's "_pcl_group" slot."""
         items, (pcls, idx, n_inside) = handle
+        if self.device_batches:
+            out = []
+            for i, (g, record, data) in enumerate(items):
+                data["pcl"] = None
+                data["pcl_idx"] = None
+                data["n_inside"] = None
+                out.append(self._post_device(g, record, data))
+            out[0]["_pcl_group"] = pcls
+            return out
         # the per-point pixel indices are only needed by the aligned-nocs /
         # aligned-rgb paths
         if self.cfg.with_nocs or self.cfg.pcl_with_color:
@@ -465,11 +592,11 @@ class CATRELoader:
             pcls, n_inside = jax.device_get((pcls, n_inside))
             idx = None
         out = []
-        for i, (record, data) in enumerate(items):
+        for i, (g, record, data) in enumerate(items):
             data["pcl"] = pcls[i]
             data["pcl_idx"] = None if idx is None else idx[i]
             data["n_inside"] = n_inside[i]
-            out.append(self._post_device(record, data))
+            out.append(self._post_device(g, record, data))
         return out
 
     def _device_group(self, items: list) -> list:
@@ -479,20 +606,24 @@ class CATRELoader:
     def _pipelined_groups(self, records, yield_empty: bool = False,
                           flush_partial: bool = False):
         """Shared double-buffered pipeline over a record stream (one state
-        machine for the train and test branches of __iter__). Yields tagged
-        items, in record order:
+        machine for the train and test branches of __iter__). Groups are
+        yielded in record order relative to each other, but an "empty" marker
+        is yielded as soon as its record is decoded — i.e. BEFORE an earlier
+        group still in flight on the device (consumers key results by
+        scene_im_id and must not rely on empty/group interleaving order).
+        Yields tagged items:
           ("group", [finalized image dicts])   full groups
           ("empty", marker dict)               undecodable records (test)
-          ("partial", [(record, data), ...])   trailing un-dispatched group
+          ("partial", [(g, record, data), ...]) trailing un-dispatched group
         """
         pending, handle = [], None
-        for record, data in self._host_stream(records):
+        for g, record, data in self._host_stream(records):
             if data is None:
                 if yield_empty:
                     yield "empty", {"scene_im_ids": [record["scene_im_id"]],
                                     "empty": True, "record": record}
                 continue
-            pending.append((record, data))
+            pending.append((g, record, data))
             if len(pending) == self.ims_per_batch:
                 new_handle = self._dispatch_group(pending)
                 pending = []
@@ -504,7 +635,110 @@ class CATRELoader:
         if flush_partial and pending:
             yield "partial", pending
 
-    def _post_device(self, record: dict, data: dict) -> dict:
+    # ------------------------------------------------------- device cache
+    def _build_device_cache(self) -> None:
+        """One-time preload: host-decode every record (threaded), stack the
+        transfer tensors and put them in HBM. Steady-state iteration then
+        ships only (keys, indices) per group."""
+        n = len(self.dicts)
+        datas = [None] * n
+
+        def work(i):
+            # position i is only consumed by the (cache-incompatible) test
+            # occlusion rng — any non-negative value works here
+            datas[i] = self._host_part(i, i, self.dicts[i])
+
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                list(pool.map(work, range(n)))
+        else:
+            for i in range(n):
+                work(i)
+
+        keep = [i for i in range(n) if datas[i] is not None]
+        if len(keep) < n:
+            logger.warning("device cache: %d/%d records empty/undecodable",
+                           n - len(keep), n)
+        kept = [datas[i] for i in keep]
+        shapes = {d["depth_ship"].shape for d in kept}
+        if len(shapes) != 1:
+            raise ValueError(f"cache_decoded='device' needs uniform image "
+                             f"shapes, got {shapes}")
+        if any(d["depth_ship"].dtype != np.uint16 for d in kept):
+            depth = np.stack([
+                d["depth_ship"].astype(np.float32) / 1000.0
+                if d["depth_ship"].dtype == np.uint16 else d["depth_ship"]
+                for d in kept])
+        else:
+            depth = np.stack([d["depth_ship"] for d in kept])
+        packed = np.stack([d["masks_packed"] for d in kept])
+        crop = [self._crop_args(d) for d in kept]
+        dev = {
+            "depth": depth,
+            "packed": packed,
+            "K": np.stack([d["K"] for d in kept]),
+            "pose": np.stack([p for p, _ in crop]),
+            "scale": np.stack([s for _, s in crop]),
+        }
+        nbytes = sum(a.nbytes for a in dev.values())
+        logger.info("device cache: %d records, %.2f GB resident", len(keep),
+                    nbytes / 2 ** 30)
+        self._dev = {k: jnp.asarray(v) for k, v in dev.items()}
+        # didx -> row in the cache stacks (None rows are dropped)
+        self._dev_row = {didx: row for row, didx in enumerate(keep)}
+        self._cached_sampler = _make_cached_group_sampler(self.cfg, self._train_aug)
+
+    def _dispatch_group_cached(self, items: list):
+        """Device-cache twin of _dispatch_group: items carry no host tensors;
+        the transfer is (pad, 2) uint32 keys + (pad,) int32 rows."""
+        G = len(items)
+        pad = max(self.ims_per_batch, G)
+        keys = np.stack([self._image_key(g) for g, _, _ in items])
+        rows = np.asarray([self._dev_row[didx] for _, didx, _ in items], np.int32)
+        if G < pad:
+            keys = np.concatenate([keys, np.repeat(keys[:1], pad - G, axis=0)])
+            rows = np.concatenate([rows, np.repeat(rows[:1], pad - G)])
+        d = self._dev
+        outs = self._cached_sampler(d["depth"], d["packed"], d["K"], d["pose"],
+                                    d["scale"], keys, rows)
+        return items, outs
+
+    def _finalize_group_cached(self, handle) -> list:
+        items, (pcls, idx, n_inside) = handle
+        if not self.device_batches:
+            pcls, n_inside = jax.device_get((pcls, n_inside))
+        out = []
+        for i, (g, didx, data) in enumerate(items):
+            data["pcl"] = None if self.device_batches else pcls[i]
+            data["pcl_idx"] = None
+            data["n_inside"] = None if self.device_batches else n_inside[i]
+            out.append(self._post_device(g, self.dicts[didx], data))
+        if self.device_batches:
+            out[0]["_pcl_group"] = pcls
+        return out
+
+    def _cached_groups(self, records):
+        """Double-buffered group stream over the device cache. The host part
+        per record is a RAM-cache dict copy — no decode, no big transfer."""
+        pending, handle = [], None
+        for g, didx, rec in records:
+            data = self._host_part(g, didx, rec)  # RAM-cache hit (tiny)
+            if data is None:
+                continue
+            pending.append((g, didx, data))
+            if len(pending) == self.ims_per_batch:
+                new_handle = self._dispatch_group_cached(pending)
+                pending = []
+                if handle is not None:
+                    yield self._finalize_group_cached(handle)
+                handle = new_handle
+        if handle is not None:
+            yield self._finalize_group_cached(handle)
+
+    # ------------------------------------------------------- host post
+    def _post_device(self, g: int, record: dict, data: dict) -> dict:
         # aligned per-point extras: nocs coords (train variants with a nocs
         # loss, `data_loader.py:584-611` samples nocs with the same indices)
         if record.get("coord_file") and self.cfg.with_nocs:
@@ -541,10 +775,10 @@ class CATRELoader:
                     # off in shipped configs, same gating here)
                     from .aug_color import color_augment, replace_background
 
-                    rng = self.rng
+                    rng = _derive_rng(self.seed, _STREAM_COLOR, g)
                     if (self.cfg.change_bg_prob > 0 and self.cfg.bg_image_dir
                             and rng.random() < self.cfg.change_bg_prob):
-                        fg = np.asarray(data["masks"]).any(axis=0)
+                        fg = np.asarray(data["fg_any"])
                         rgb = replace_background(rng, rgb, fg, self.cfg.bg_image_dir)
                     if (self.cfg.color_aug_prob > 0
                             and rng.random() < self.cfg.color_aug_prob):
@@ -564,10 +798,16 @@ class CATRELoader:
         return data
 
     def _flatten(self, images: list) -> dict:
-        """Concatenate per-image padded instance arrays into one object batch."""
+        """Concatenate per-image padded instance arrays into one object batch.
+        In device_batches mode the cloud never touched the host: the group's
+        stacked (pad, M, P, 3) device array is reshaped on device instead of
+        concatenated from per-image numpy slices."""
         keys = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "mug_handle",
                 "obj_bbox", "score", "obj_pose_est", "obj_scale_est", "valid",
                 "obj_mean_points", "obj_mean_scales"]
+        group_pcl = images[0].pop("_pcl_group", None)
+        if group_pcl is not None:
+            keys = [k for k in keys if k != "pcl"]
         if self._last_frame is not None:
             keys = keys + ["last_frame_poses"]
         if all("nocs" in im for im in images):
@@ -576,6 +816,9 @@ class CATRELoader:
             keys = keys + ["pcl_rgb"]
         batch = {k: np.concatenate([im[k] for im in images], axis=0) for k in keys}
         m = self.cfg.max_objs_per_image
+        if group_pcl is not None:
+            g = len(images)
+            batch["pcl"] = group_pcl[:g].reshape(g * m, group_pcl.shape[2], 3)
         batch["K"] = np.concatenate(
             [np.tile(im["K"][None], (m, 1, 1)) for im in images], axis=0
         )
@@ -587,39 +830,31 @@ class CATRELoader:
         batch["file_names"] = [im.get("file_name", "") for im in images]
         return batch
 
-    def _process_image(self, record: dict) -> dict | None:
-        """Single-threaded convenience: host + device stages."""
-        data = self._host_part(record, int(self.rng.integers(2 ** 31)))
-        if data is None:
-            return None
-        return self._device_part(record, data)
-
-    def _infinite_indices(self):
-        while True:
-            yield from self._perm_rng.permutation(len(self.dicts))
-
-    def _train_records(self):
-        """Rank-strided slice of the infinite shuffled index stream (the
-        reference's `TrainingSampler`, `my_distributed_sampler.py:12-55`)."""
-        import itertools
-
-        for idx in itertools.islice(
-            self._infinite_indices(), self.rank, None, self.world_size
-        ):
-            yield self.dicts[idx]
-
     def __iter__(self):
         # double-buffered device stage: group k's sampler runs on-device while
-        # group k+1 decodes on host; exactly one group of latency, same order
+        # group k+1 decodes on host; exactly one group of latency
         if self.phase == "train":
+            if self._dev is not None:
+                for group in self._cached_groups(self._train_records()):
+                    yield self._flatten(group)
+                return
             for kind, val in self._pipelined_groups(self._train_records()):
                 yield self._flatten(val)  # only "group" occurs (no empties)
         else:
+            if self._dev is not None:
+                for group in self._cached_groups(self._test_records()):
+                    while len(group) < self.ims_per_batch:
+                        pad_im = dict(group[0])
+                        pad_im["valid"] = np.zeros_like(group[0]["valid"])
+                        pad_im["scene_im_id"] = None
+                        group.append(pad_im)
+                    yield self._flatten(group)
+                return
             # test: fixed-size groups of images flattened into one padded
             # object batch (ims_per_batch=1 reproduces the reference's
             # one-image-per-step evaluation; larger values batch the jit)
             for kind, val in self._pipelined_groups(
-                    iter(self.dicts), yield_empty=True, flush_partial=True):
+                    self._test_records(), yield_empty=True, flush_partial=True):
                 if kind == "empty":
                     yield val
                     continue

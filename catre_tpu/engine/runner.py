@@ -214,29 +214,44 @@ def do_train(cfg, resume: bool = False) -> None:
         raise FileNotFoundError(
             f"no training data found for {cfg.DATASETS.TRAIN} under {meta.NOCS_ROOT}"
         )
+    seed = max(cfg.get("SEED", 0), 0)
     loader_cfg = loader_config_from(cfg, "train")
+    # single-device training consumes the sampled clouds straight from the
+    # device (no sampler-output fetch + batch re-upload); the mesh path needs
+    # host numpy for the global-batch assembly
+    dev_batches = mesh is None and world == 1
     loader = CATRELoader(
         train_dicts, loader_cfg, phase="train",
         ims_per_batch=ims_local,
-        seed=max(cfg.get("SEED", 0), 0),
+        seed=seed,
         max_objs_train=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
         num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
         rank=rank, world_size=world,
+        device_batches=dev_batches,
     )
-    loader_iter = iter(loader)
 
     train2 = cfg.DATASETS.get("TRAIN2", ())
     train2_ratio = float(cfg.DATASETS.get("TRAIN2_RATIO", 0.0))
-    loader2_iter = None
+    loader2 = None
     if train2 and train2_ratio > 0:
         dicts2 = _get_train_dicts(cfg, train2)
-        loader2_iter = iter(CATRELoader(
+        loader2 = CATRELoader(
             dicts2, loader_cfg, phase="train",
-            ims_per_batch=ims_local, seed=1 + max(cfg.get("SEED", 0), 0),
+            ims_per_batch=ims_local, seed=1 + seed,
             max_objs_train=int(cfg.DATALOADER.get("MAX_OBJS_TRAIN", 120)),
             num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
             rank=rank, world_size=world,
-        ))
+            device_batches=dev_batches,
+        )
+
+    def pick_train2(it: int) -> bool:
+        """Stateless per-iteration TRAIN2 draw (ref engine.py:280-283 draws
+        from a stateful RNG; deriving from (seed, iteration) instead makes
+        the whole input stream position-addressable for exact resume)."""
+        if loader2 is None:
+            return False
+        return np.random.default_rng(
+            np.random.SeedSequence((seed, 5, it))).random() < train2_ratio
 
     iters_per_epoch = max(len(train_dicts) // ims_per_batch, 1)
     total_epochs = int(cfg.SOLVER.TOTAL_EPOCHS)
@@ -271,7 +286,18 @@ def do_train(cfg, resume: bool = False) -> None:
         if latest is not None:
             state = ckpt.load_checkpoint(ckpt_dir, state)
             start_iter = int(latest) + 1
-            logger.info("resumed from iteration %d", start_iter)
+            # fast-forward the loaders to the exact stream position an
+            # uninterrupted run would be at — resumed training is
+            # bit-deterministic (all loader/noise RNG is positional)
+            n2_resume = sum(pick_train2(i) for i in range(start_iter))
+            loader.skip((start_iter - n2_resume) * ims_local)
+            if loader2 is not None:
+                loader2.skip(n2_resume * ims_local)
+            logger.info("resumed from iteration %d (loader fast-forward: "
+                        "%d + %d batches)", start_iter,
+                        start_iter - n2_resume, n2_resume)
+    loader_iter = iter(loader)
+    loader2_iter = iter(loader2) if loader2 is not None else None
 
     ckpt_period = (int(cfg.SOLVER.CHECKPOINT_PERIOD) * iters_per_epoch
                    if cfg.SOLVER.get("CHECKPOINT_BY_EPOCH", True)
@@ -304,8 +330,7 @@ def do_train(cfg, resume: bool = False) -> None:
     # skip 2 warmup (compile) iterations when the run is long enough
     profile_skip = min(2, max(0, max_iter - start_iter - profile_iters))
 
-    key = jax.random.PRNGKey(1000 + max(cfg.get("SEED", 0), 0))
-    rng_host = np.random.default_rng(max(cfg.get("SEED", 0), 0))
+    base_key = jax.random.PRNGKey(1000 + seed)
     iter_t0 = None
     bad_iter = jnp.asarray(-1, jnp.int32)
     for iteration in range(start_iter, max_iter):
@@ -329,7 +354,7 @@ def do_train(cfg, resume: bool = False) -> None:
                 max(1, int(n_iter_train * epoch / max(warm_epochs, 1))),
             )
 
-        if loader2_iter is not None and rng_host.random() < train2_ratio:
+        if pick_train2(iteration):
             batch_np = next(loader2_iter)
         else:
             batch_np = next(loader_iter)
@@ -358,7 +383,9 @@ def do_train(cfg, resume: bool = False) -> None:
         iter_t0 = time.perf_counter()
 
         lr = lr_fn(iteration)
-        key, sub = jax.random.split(key)
+        # per-iteration key derived by position, not by sequential splitting:
+        # a resumed run draws the same noise an uninterrupted one would
+        sub = jax.random.fold_in(base_key, iteration)
         state, metrics = get_step_fn(max_refine_iter)(state, batch, sub, lr)
         bad_iter = _update_bad_iter(bad_iter, metrics["loss_total"], iteration)
 

@@ -172,11 +172,14 @@ def worker_main():
     loader = CATRELoader.__new__(CATRELoader)
     loader.dicts = dicts
     loader.rank, loader.world_size = rank, world
-    loader._perm_rng = np.random.default_rng(42)
+    loader.seed = 42
+    loader._pos = 0
+    loader._perm_cache = None
     import itertools
 
     n_take = len(range(rank, len(dicts), world))  # this rank's share of epoch 1
-    first_epoch_ids = [r["id"] for r in itertools.islice(loader._train_records(), n_take)]
+    first_epoch_ids = [rec["id"] for _, _, rec in
+                       itertools.islice(loader._train_records(), n_take)]
 
     out = {
         "rank": rank,
