@@ -86,6 +86,59 @@ def _base_optimizer(opt_cfg: dict) -> tuple:
         def make(lr_):
             return extra.sgd_gc(lr_, momentum=float(opt_cfg.get("momentum", 0.9)),
                                 weight_decay=wd)
+    elif typ == "ranger2020":
+        from .ranger_family import ranger2020
+
+        def make(lr_):
+            return ranger2020(
+                lr_, weight_decay=wd,
+                b1=float(opt_cfg.get("betas", (0.95, 0.999))[0]),
+                b2=float(opt_cfg.get("betas", (0.95, 0.999))[1]),
+                eps=float(opt_cfg.get("eps", 1e-5)),
+                k=int(opt_cfg.get("k", 6)), alpha=float(opt_cfg.get("alpha", 0.5)),
+                use_gc=bool(opt_cfg.get("use_gc", True)),
+                gc_conv_only=bool(opt_cfg.get("gc_conv_only", False)),
+                gc_loc=bool(opt_cfg.get("gc_loc", True)))
+    elif typ in ("rangeradabelief", "ranger_adabelief"):
+        from .ranger_family import ranger_adabelief
+
+        def make(lr_):
+            return ranger_adabelief(
+                lr_, weight_decay=wd,
+                b1=float(opt_cfg.get("betas", (0.95, 0.999))[0]),
+                b2=float(opt_cfg.get("betas", (0.95, 0.999))[1]),
+                eps=float(opt_cfg.get("eps", 1e-5)),
+                k=int(opt_cfg.get("k", 6)), alpha=float(opt_cfg.get("alpha", 0.5)),
+                use_gc=bool(opt_cfg.get("use_gc", True)),
+                adabelief=bool(opt_cfg.get("adabelief", True)),
+                weight_decouple=bool(opt_cfg.get("weight_decouple", True)))
+    elif typ == "badam":
+        from .ranger_family import badam
+
+        def make(lr_):
+            return badam(
+                lr_, weight_decay=wd if wd else 1e-2,
+                b1=float(opt_cfg.get("betas", (0.9, 0.999))[0]),
+                b2=float(opt_cfg.get("betas", (0.9, 0.999))[1]),
+                eps=float(opt_cfg.get("eps", 1e-6)),
+                avg_sq_init=float(opt_cfg.get("avg_sq_init", 1e-3)))
+    elif typ == "ranger21":
+        from .ranger_family import ranger21
+
+        def make(lr_):
+            return ranger21(
+                lr_, weight_decay=wd if wd else 1e-4,
+                b1=float(opt_cfg.get("betas", (0.9, 0.999))[0]),
+                b2=float(opt_cfg.get("betas", (0.9, 0.999))[1]),
+                eps=float(opt_cfg.get("eps", 1e-8)),
+                lookahead_mergetime=int(opt_cfg.get("lookahead_mergetime", 5)),
+                lookahead_alpha=float(opt_cfg.get("lookahead_blending_alpha", 0.5)),
+                use_adaptive_gradient_clipping=bool(
+                    opt_cfg.get("use_adaptive_gradient_clipping", True)),
+                using_gc=bool(opt_cfg.get("using_gc", True)),
+                using_normgc=bool(opt_cfg.get("using_normgc", True)),
+                normloss_active=bool(opt_cfg.get("normloss_active", True)),
+                normloss_factor=float(opt_cfg.get("normloss_factor", 1e-4)))
     elif typ == "lookahead":
         inner_cfg = dict(opt_cfg.get("inner", {"type": "adam", "lr": lr}))
         inner_cfg.setdefault("lr", lr)

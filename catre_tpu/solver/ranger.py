@@ -87,17 +87,24 @@ def ranger(
             lambda v, g: b2 * v + (1 - b2) * g * g, state.exp_avg_sq, updates
         )
 
-        beta2_t = jnp.power(b2, tf)
+        # 1 - b^t via -expm1(t log b): the naive f32 subtraction can flip the
+        # rectification branch vs torch's float64 near the threshold
+        # (see solver/ranger_family.py::_rect_terms)
+        import math
+
+        beta2_t = jnp.exp(tf * math.log(b2))
+        one_minus_beta2_t = -jnp.expm1(tf * math.log(b2))
         n_sma_max = 2.0 / (1.0 - b2) - 1.0
-        n_sma = n_sma_max - 2.0 * tf * beta2_t / (1.0 - beta2_t)
+        n_sma = n_sma_max - 2.0 * tf * beta2_t / one_minus_beta2_t
         rectified = n_sma > n_sma_threshold
+        one_minus_beta1_t = -jnp.expm1(tf * math.log(b1))
         step_size_rect = jnp.sqrt(
-            (1.0 - beta2_t)
+            one_minus_beta2_t
             * (n_sma - 4.0) / (n_sma_max - 4.0)
             * (n_sma - 2.0) / n_sma
             * n_sma_max / (n_sma_max - 2.0)
-        ) / (1.0 - jnp.power(b1, tf))
-        step_size_plain = 1.0 / (1.0 - jnp.power(b1, tf))
+        ) / one_minus_beta1_t
+        step_size_plain = 1.0 / one_minus_beta1_t
 
         def leaf_update(p, m, v):
             upd_rect = -lr * step_size_rect * m / (jnp.sqrt(v) + eps)

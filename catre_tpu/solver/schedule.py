@@ -76,16 +76,95 @@ def flat_and_anneal_factor(
     return target_lr_factor
 
 
+# fvcore ParamScheduler.WHERE_EPSILON: interval/milestone checks tolerate
+# float truncation at exact boundaries
+_WHERE_EPSILON = 1e-6
+
+
+def multistep_factor(x: float, total_iters: int, rel_steps=(2.0 / 3.0, 8.0 / 9.0),
+                     gamma: float = 0.1, warmup_iters: int = 0,
+                     warmup_factor: float = 0.001,
+                     warmup_method: str = "linear") -> float:
+    """d2 `WarmupMultiStepLR` (ref `core/utils/solver_utils.py:168-178`):
+    fvcore MultiStepParamScheduler(values=[gamma^k], milestones=rel*total)
+    wrapped in WarmupParamScheduler; evaluated at where = x/total."""
+    milestones = [s * total_iters for s in rel_steps if s <= 1]
+
+    def sched(where: float) -> float:
+        epoch_num = int((where + _WHERE_EPSILON) * total_iters)
+        return gamma ** bisect_right(milestones, epoch_num)
+
+    return _warmup_wrap(sched, x / total_iters, warmup_iters / total_iters,
+                        warmup_factor, warmup_method)
+
+
+def warmup_cosine_factor(x: float, total_iters: int, warmup_iters: int = 0,
+                         warmup_factor: float = 0.001,
+                         warmup_method: str = "linear") -> float:
+    """d2 `WarmupCosineLR` (ref `solver_utils.py:179-181`):
+    CosineParamScheduler(1, 0) under the warmup wrapper."""
+    def sched(where: float) -> float:
+        return 0.5 * (1.0 + math.cos(math.pi * where))
+
+    return _warmup_wrap(sched, x / total_iters, warmup_iters / total_iters,
+                        warmup_factor, warmup_method)
+
+
+def _warmup_wrap(sched, where: float, warmup_length: float,
+                 warmup_factor: float, warmup_method: str) -> float:
+    """detectron2 WarmupParamScheduler == CompositeParamScheduler(
+    [warmup, sched], lengths=[wl, 1-wl], scaling=[rescaled, fixed]): the
+    warmup interval interpolates from warmup_factor*sched(0) to
+    sched(warmup_length); the main interval evaluates sched at the GLOBAL
+    where (fixed scaling)."""
+    if warmup_length <= 0:
+        return sched(where)
+    end = sched(warmup_length)
+    start = warmup_factor * sched(0.0)
+    if (where + _WHERE_EPSILON) <= warmup_length:
+        w = where / warmup_length  # "rescaled" interval scaling
+        if warmup_method == "linear":
+            return start + (end - start) * w
+        if warmup_method == "constant":
+            return start
+        raise ValueError(f"Unknown warmup method: {warmup_method}")
+    return sched(where)
+
+
 def build_lr_fn(cfg: dict, total_iters: int):
     """Build a step -> lr function from a SOLVER config dict.
 
-    Mirrors `core/utils/solver_utils.py:134-190` (build_lr_scheduler) for the
-    flat_and_anneal scheduler family.
+    Mirrors `core/utils/solver_utils.py:134-190` (build_lr_scheduler):
+    flat_and_anneal plus the detectron2 fallbacks WarmupMultiStepLR and
+    WarmupCosineLR (evaluated as d2's LRMultiplier does: factor at
+    where = iteration / total_iters).
     """
     base_lr = float(cfg.get("BASE_LR", cfg.get("OPTIMIZER_CFG", {}).get("lr", 1e-4)))
     name = cfg.get("LR_SCHEDULER_NAME", "flat_and_anneal")
+    if name == "WarmupMultiStepLR":
+        def lr_fn(step: int) -> float:
+            return base_lr * multistep_factor(
+                step, total_iters,
+                rel_steps=cfg.get("REL_STEPS", (2.0 / 3.0, 8.0 / 9.0)),
+                gamma=float(cfg.get("GAMMA", 0.1)),
+                warmup_iters=int(cfg.get("WARMUP_ITERS", 1000)),
+                warmup_factor=float(cfg.get("WARMUP_FACTOR", 0.001)),
+                warmup_method=cfg.get("WARMUP_METHOD", "linear"),
+            )
+
+        return lr_fn
+    if name == "WarmupCosineLR":
+        def lr_fn(step: int) -> float:
+            return base_lr * warmup_cosine_factor(
+                step, total_iters,
+                warmup_iters=int(cfg.get("WARMUP_ITERS", 1000)),
+                warmup_factor=float(cfg.get("WARMUP_FACTOR", 0.001)),
+                warmup_method=cfg.get("WARMUP_METHOD", "linear"),
+            )
+
+        return lr_fn
     if name != "flat_and_anneal":
-        raise NotImplementedError(f"scheduler {name} (only flat_and_anneal is shipped)")
+        raise ValueError(f"Unknown LR scheduler: {name}")
     warmup_iters = int(cfg.get("WARMUP_ITERS", 1000))
     warmup_factor = float(cfg.get("WARMUP_FACTOR", 0.001))
     warmup_method = cfg.get("WARMUP_METHOD", "linear")

@@ -23,6 +23,12 @@ import os
 import os.path as osp
 import sys
 
+# asset pickles (mean shapes / abs scales) ship with the reference checkout
+# (same default as tests/conftest.py and bench.py); must be set before the
+# data modules read it at import time
+if "CATRE_DATA_ROOT" not in os.environ and osp.isdir("/root/reference/datasets"):
+    os.environ["CATRE_DATA_ROOT"] = "/root/reference/datasets"
+
 from ..config.loader import apply_overrides, load_config
 from ..data.nocs import _DATASET_REGISTRY, NOCSDataset
 from .synth_nocs import generate_split
