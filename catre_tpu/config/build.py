@@ -206,6 +206,8 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         change_bg_prob=float(inp.get("CHANGE_BG_PROB", 0.0)) if phase == "train" else 0.0,
         bg_image_dir=str(inp.get("BG_IMGS_ROOT", "")),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
+        sampler_train=str(cfg.DATALOADER.get("SAMPLER_TRAIN", "TrainingSampler")),
+        repeat_threshold=float(cfg.DATALOADER.get("REPEAT_THRESHOLD", 0.0)),
         init_pose_train_path=(
             inp.get("INIT_POSE_TRAIN_PATH", "")
             if "last_frame" in tuple(inp.get("INIT_POSE_TYPE_TRAIN", ())) else ""

@@ -66,6 +66,9 @@ DATALOADER = dict(
     MAX_OBJS_TRAIN=120,
     MAX_OBJS_PER_IMAGE=8,
     FILTER_VISIB_THR=0.0,
+    # ref `common_base.py:107-110`
+    SAMPLER_TRAIN="TrainingSampler",  # TrainingSampler | RepeatFactorTrainingSampler
+    REPEAT_THRESHOLD=0.0,
     # decoded-tensor cache: "" (decode every epoch, reference behavior),
     # "ram" (memoize host decode, ~1 MB/frame), or "device" (keep the decoded
     # dataset resident in HBM — steady-state training ships only PRNG keys +

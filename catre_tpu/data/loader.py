@@ -68,6 +68,10 @@ class LoaderConfig:
     change_bg_prob: float = 0.0   # INPUT.CHANGE_BG_PROB (train, RGB path)
     bg_image_dir: str = ""        # background still-image pool
     max_objs_per_image: int = 8
+    # DATALOADER.SAMPLER_TRAIN: TrainingSampler | RepeatFactorTrainingSampler
+    # (`my_distributed_sampler.py:12-55,172-200`)
+    sampler_train: str = "TrainingSampler"
+    repeat_threshold: float = 0.0  # DATALOADER.REPEAT_THRESHOLD
     # decoded-tensor cache (DATALOADER.CACHE_DECODED): "" = decode every
     # epoch (reference behavior); "ram" = memoize the host decode per record
     # (u16 depth + bit-packed masks, ~1 MB/frame — skips cv2 from epoch 2);
@@ -86,6 +90,29 @@ class LoaderConfig:
     noise_rot_max_test: float = 45.0
     noise_trans_std_test: tuple = ((0.01, 0.01, 0.005), (0.01, 0.01, 0.01), (0.005, 0.005, 0.01))
     noise_scale_std_test: tuple = ((0.001, 0.005, 0.001), (0.005, 0.001, 0.005), (0.01, 0.01, 0.01))
+
+
+def repeat_factors_from_category_frequency(dataset_dicts: list,
+                                           repeat_thresh: float) -> np.ndarray:
+    """Per-image repeat factors r(I) = max_{c in I} max(1, sqrt(t / f(c)))
+    from category image-frequencies (LVIS oversampling;
+    `my_distributed_sampler.py:85-130`)."""
+    from collections import defaultdict
+
+    category_freq: dict = defaultdict(int)
+    for rec in dataset_dicts:
+        for cat_id in {a["category_id"] for a in rec.get("annotations", [])}:
+            category_freq[cat_id] += 1
+    num_images = len(dataset_dicts)
+    category_rep = {
+        cat_id: max(1.0, np.sqrt(repeat_thresh / (freq / num_images)))
+        for cat_id, freq in category_freq.items()
+    }
+    return np.asarray([
+        max({category_rep[c] for c in
+             {a["category_id"] for a in rec.get("annotations", [])}} or {1.0})
+        for rec in dataset_dicts
+    ], dtype=np.float64)
 
 
 def _quiet_cv2():
@@ -404,7 +431,14 @@ class CATRELoader:
         self._sampler = _make_group_sampler(cfg, self._train_aug)
         self._mean_points = assets.mean_shape_array()
         self._mean_scales = meta.mean_scales_array()
-        self._perm_cache: tuple | None = None  # (epoch, permutation)
+        self._perm_cache: tuple | None = None  # (epoch, index array)
+        self._epoch_cum = [0]  # cumulative epoch sizes for _index_at
+        self._rep_factors = None
+        if phase == "train" and cfg.sampler_train == "RepeatFactorTrainingSampler":
+            self._rep_factors = repeat_factors_from_category_frequency(
+                dataset_dicts, cfg.repeat_threshold)
+        elif phase == "train" and cfg.sampler_train not in ("", "TrainingSampler"):
+            raise ValueError(f"unknown SAMPLER_TRAIN {cfg.sampler_train!r}")
         self._last_frame = None
         if cfg.init_pose_train_path:
             import pickle
@@ -439,15 +473,40 @@ class CATRELoader:
         return _derive_rng(self.seed, _STREAM_KEYS, g).integers(
             0, 2 ** 32, size=2, dtype=np.uint32)
 
-    def _epoch_perm(self, epoch: int) -> np.ndarray:
-        """Shared-seed epoch permutation: same on every rank so the
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        """Shared-seed epoch index stream: same on every rank so the
         rank-strided split partitions one global shuffle
-        (`my_distributed_sampler.py:12-55`)."""
+        (`my_distributed_sampler.py:12-55`).
+
+        TrainingSampler (default): one shuffled permutation per epoch.
+        RepeatFactorTrainingSampler (`my_distributed_sampler.py:172-200`):
+        per-image repeat factors r(I) = max_c sqrt(thresh / f(c)) with
+        stochastic rounding per epoch, then shuffled — epochs vary slightly
+        in length, so positions map through cumulative epoch sizes."""
         if self._perm_cache is not None and self._perm_cache[0] == epoch:
             return self._perm_cache[1]
-        perm = _derive_rng(self.seed, _STREAM_EPOCH, epoch).permutation(len(self.dicts))
-        self._perm_cache = (epoch, perm)
-        return perm
+        rng = _derive_rng(self.seed, _STREAM_EPOCH, epoch)
+        if self._rep_factors is None:
+            idx = rng.permutation(len(self.dicts))
+        else:
+            int_part = np.floor(self._rep_factors)
+            frac = self._rep_factors - int_part
+            rep = (int_part + (rng.random(len(frac)) < frac)).astype(np.int64)
+            idx = np.repeat(np.arange(len(self.dicts)), rep)
+            idx = idx[rng.permutation(len(idx))]
+        self._perm_cache = (epoch, idx)
+        return idx
+
+    def _index_at(self, g: int) -> int:
+        """Dataset index at global stream position g (variable epoch sizes
+        with repeat-factor sampling)."""
+        from bisect import bisect_right
+
+        while g >= self._epoch_cum[-1]:
+            e = len(self._epoch_cum) - 1
+            self._epoch_cum.append(self._epoch_cum[-1] + len(self._epoch_indices(e)))
+        e = bisect_right(self._epoch_cum, g) - 1
+        return int(self._epoch_indices(e)[g - self._epoch_cum[e]])
 
     def skip(self, n_images: int) -> None:
         """Fast-forward the stream by n_images records (this rank's count)
@@ -460,10 +519,9 @@ class CATRELoader:
         """Rank-strided slice of the infinite shuffled index stream (the
         reference's `TrainingSampler`, `my_distributed_sampler.py:12-55`).
         Yields (g, didx, record): global stream position, dataset index."""
-        n = len(self.dicts)
         while True:
             g = self.rank + self._pos * self.world_size
-            didx = int(self._epoch_perm(g // n)[g % n])
+            didx = self._index_at(g)
             self._pos += 1
             yield g, didx, self.dicts[didx]
 

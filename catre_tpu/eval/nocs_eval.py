@@ -512,3 +512,237 @@ def compute_independent_mAP(final_results, synset_names=SYNSET_NAMES,
             pose_aps[-1, i, j] = np.mean(pose_aps[1:-1, i, j])
 
     return iou_3d_aps, pose_aps
+
+
+# ---------------------------------------------------------------- combination
+def compute_combination_RT_degree_cm_symmetry(RT_1, RT_2, scale, class_id,
+                                              handle_visibility, synset_names):
+    """Joint-protocol pose error (`test_utils.py:208-280`): degrees plus
+    SCALE-NORMALIZED translation shift (||t1-t2|| / scale — no x100 cm)."""
+    if RT_1 is None or RT_2 is None:
+        return np.array([-1.0, -1.0])
+    assert np.array_equal(RT_1[3, :], RT_2[3, :])
+    assert np.array_equal(RT_1[3, :], np.array([0, 0, 0, 1]))
+
+    R1 = RT_1[:3, :3] / np.cbrt(np.linalg.det(RT_1[:3, :3]))
+    T1 = RT_1[:3, 3]
+    R2 = RT_2[:3, :3] / np.cbrt(np.linalg.det(RT_2[:3, :3]))
+    T2 = RT_2[:3, 3]
+
+    cname = synset_names[class_id]
+    if cname in ["bottle", "can", "bowl"] or (cname == "mug" and handle_visibility == 0):
+        y = np.array([0.0, 1.0, 0.0])
+        y1, y2 = R1 @ y, R2 @ y
+        theta = np.arccos(y1.dot(y2) / (np.linalg.norm(y1) * np.linalg.norm(y2)))
+    elif cname in ["phone", "eggbox", "glue"]:
+        y_180 = np.diag([-1.0, 1.0, -1.0])
+        R = R1 @ R2.T
+        R_rot = R1 @ y_180 @ R2.T
+        theta = min(np.arccos((np.trace(R) - 1) / 2),
+                    np.arccos((np.trace(R_rot) - 1) / 2))
+    else:
+        R = R1 @ R2.T
+        theta = np.arccos(np.clip((np.trace(R) - 1) / 2, -1.0, 1.0))
+    theta *= 180.0 / np.pi
+    shift = np.linalg.norm(T1 - T2) / scale
+    return np.array([theta, shift])
+
+
+def compute_combination_3d_matches(gt_class_ids, gt_RTs, gt_scales,
+                                   gt_handle_visibility, synset_names,
+                                   pred_boxes, pred_class_ids, pred_scores,
+                                   pred_RTs, pred_scales, iou_3d_thresholds,
+                                   degree_thresholds, shift_thresholds,
+                                   score_threshold=0):
+    """Greedy JOINT matching — a pair matches only when IoU, degree and
+    normalized shift all pass together (`test_utils.py:283-392`)."""
+    num_pred = len(pred_class_ids)
+    num_gt = len(gt_class_ids)
+    indices = np.zeros(0)
+    if num_pred:
+        pred_boxes = trim_zeros(np.asarray(pred_boxes)).copy()
+        pred_scores = np.asarray(pred_scores)[: pred_boxes.shape[0]].copy()
+        indices = np.argsort(pred_scores)[::-1]
+        pred_boxes = pred_boxes[indices].copy()
+        pred_class_ids = np.asarray(pred_class_ids)[indices].copy()
+        pred_scores = pred_scores[indices].copy()
+        pred_scales = np.asarray(pred_scales)[indices].copy()
+        pred_RTs = np.asarray(pred_RTs)[indices].copy()
+
+    overlaps = np.zeros((num_pred, num_gt), dtype=np.float32)
+    RT_overlaps = np.zeros((num_pred, num_gt, 2), dtype=np.float32)
+    for i in range(num_pred):
+        for j in range(num_gt):
+            overlaps[i, j] = compute_3d_iou_new(
+                pred_RTs[i], gt_RTs[j], pred_scales[i, :], gt_scales[j],
+                gt_handle_visibility[j], synset_names[pred_class_ids[i]],
+                synset_names[gt_class_ids[j]])
+            RT_overlaps[i, j, :] = compute_combination_RT_degree_cm_symmetry(
+                pred_RTs[i], gt_RTs[j],
+                np.cbrt(np.linalg.det(gt_RTs[j, :3, :3])),
+                gt_class_ids[j], gt_handle_visibility[j], synset_names)
+
+    num_iou, num_deg, num_shift = (len(iou_3d_thresholds),
+                                   len(degree_thresholds), len(shift_thresholds))
+    pred_matches = -1 * np.ones([num_deg, num_shift, num_iou, num_pred])
+    gt_matches = -1 * np.ones([num_deg, num_shift, num_iou, num_gt])
+    for s, iou_thres in enumerate(iou_3d_thresholds):
+        for d, degree_thres in enumerate(degree_thresholds):
+            for t, shift_thres in enumerate(shift_thresholds):
+                for i in range(len(pred_boxes)):
+                    sorted_ixs = np.argsort(overlaps[i])[::-1]
+                    low = np.where(overlaps[i, sorted_ixs] < score_threshold)[0]
+                    if low.size > 0:
+                        sorted_ixs = sorted_ixs[: low[0]]
+                    for j in sorted_ixs:
+                        if gt_matches[d, t, s, j] > -1:
+                            continue
+                        iou = overlaps[i, j]
+                        r_err, t_err = RT_overlaps[i, j]
+                        # reference short-circuit: stop scanning this
+                        # prediction once ANY criterion fails
+                        # (`test_utils.py:375-380`)
+                        if iou < iou_thres or r_err > degree_thres or t_err > shift_thres:
+                            break
+                        if not pred_class_ids[i] == gt_class_ids[j]:
+                            continue
+                        gt_matches[d, t, s, j] = i
+                        pred_matches[d, t, s, i] = j
+                        break
+    return gt_matches, pred_matches, indices
+
+
+def compute_combination_mAP(final_results, synset_names=SYNSET_NAMES,
+                            degree_thresholds=(5, 10, 15),
+                            shift_thresholds=(0.1, 0.2),
+                            iou_3d_thresholds=(0.1,)):
+    """Joint (IoU AND degree AND shift) mAP (`test_utils.py:394-520`).
+    Returns aps (C+1, n_deg+1, n_shift+1, n_iou); last class row is the
+    class mean."""
+    num_classes = len(synset_names)
+    degree_thres_list = list(degree_thresholds) + [360]
+    shift_thres_list = list(shift_thresholds) + [100]
+    iou_thres_list = list(iou_3d_thresholds)
+    num_deg, num_shift, num_iou = (len(degree_thres_list),
+                                   len(shift_thres_list), len(iou_thres_list))
+
+    aps = np.zeros((num_classes + 1, num_deg, num_shift, num_iou))
+    pred_matches_all = [np.zeros((num_deg, num_shift, num_iou, 0)) for _ in range(num_classes)]
+    gt_matches_all = [np.zeros((num_deg, num_shift, num_iou, 0)) for _ in range(num_classes)]
+    pred_scores_all = [np.zeros((num_deg, num_shift, num_iou, 0)) for _ in range(num_classes)]
+
+    for result in final_results:
+        gt_class_ids = np.asarray(result["gt_class_ids"]).astype(np.int32)
+        gt_RTs = np.array(result["gt_RTs"])
+        gt_scales = np.array(result["gt_scales"])
+        gt_handle_visibility = np.asarray(result["gt_handle_visibility"])
+        pred_bboxes = np.array(result["pred_bboxes"])
+        pred_class_ids = np.asarray(result["pred_class_ids"])
+        pred_scales = np.asarray(result["pred_scales"])
+        pred_scores = np.asarray(result["pred_scores"])
+        pred_RTs = np.array(result["pred_RTs"])
+        if len(gt_class_ids) == 0 and len(pred_class_ids) == 0:
+            continue
+
+        for cls_id in range(1, num_classes):
+            g = gt_class_ids == cls_id
+            p = pred_class_ids == cls_id if len(pred_class_ids) else np.zeros(0, bool)
+            cls_gt_class_ids = gt_class_ids[g] if len(gt_class_ids) else np.zeros(0)
+            cls_gt_scales = gt_scales[g] if len(gt_class_ids) else np.zeros((0, 3))
+            cls_gt_RTs = gt_RTs[g] if len(gt_class_ids) else np.zeros((0, 4, 4))
+            cls_pred_class_ids = pred_class_ids[p] if len(pred_class_ids) else np.zeros(0)
+            cls_pred_bboxes = pred_bboxes[p, :] if len(pred_class_ids) else np.zeros((0, 4))
+            cls_pred_scores = pred_scores[p] if len(pred_class_ids) else np.zeros(0)
+            cls_pred_RTs = pred_RTs[p] if len(pred_class_ids) else np.zeros((0, 4, 4))
+            cls_pred_scales = pred_scales[p] if len(pred_class_ids) else np.zeros((0, 3))
+            if synset_names[cls_id] != "mug":
+                cls_gt_handle_visibility = np.ones_like(cls_gt_class_ids)
+            else:
+                cls_gt_handle_visibility = (
+                    gt_handle_visibility[g] if len(gt_class_ids) else np.ones(0))
+
+            gt_match, pred_match, pred_indices = compute_combination_3d_matches(
+                cls_gt_class_ids, cls_gt_RTs, cls_gt_scales,
+                cls_gt_handle_visibility, synset_names,
+                cls_pred_bboxes, cls_pred_class_ids, cls_pred_scores,
+                cls_pred_RTs, cls_pred_scales,
+                iou_thres_list, degree_thres_list, shift_thres_list)
+            if len(pred_indices):
+                cls_pred_scores = cls_pred_scores[pred_indices]
+
+            pred_matches_all[cls_id] = np.concatenate(
+                (pred_matches_all[cls_id], pred_match), axis=-1)
+            scores_tile = np.tile(cls_pred_scores,
+                                  (num_deg, num_shift, num_iou, 1))
+            pred_scores_all[cls_id] = np.concatenate(
+                (pred_scores_all[cls_id], scores_tile), axis=-1)
+            gt_matches_all[cls_id] = np.concatenate(
+                (gt_matches_all[cls_id], gt_match), axis=-1)
+
+    for cls_id in range(1, num_classes):
+        for s in range(num_iou):
+            for d in range(num_deg):
+                for t in range(num_shift):
+                    aps[cls_id, d, t, s] = compute_ap_from_matches_scores(
+                        pred_matches_all[cls_id][d, t, s, :],
+                        pred_scores_all[cls_id][d, t, s, :],
+                        gt_matches_all[cls_id][d, t, s, :])
+    aps[-1, :, :, :] = np.mean(aps[1:-1, :, :, :], axis=0)
+    return aps
+
+
+# ---------------------------------------------------------------- standalone
+def evaluate(path, combination=False):
+    """Score a results pkl — per-image dicts (or a dict of them) with
+    gt_*/pred_* keys — the tool the reference uses on third-party result
+    files (SPD/DualPoseNet; `test_utils.py:927-965`). Prints the headline
+    table and returns (iou_3d_aps, pose_aps)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        final_results = pickle.load(f)
+    if isinstance(final_results, dict):
+        final_results = list(final_results.values())
+
+    if combination:
+        aps = compute_combination_mAP(final_results, SYNSET_NAMES,
+                                      degree_thresholds=[5, 10, 20],
+                                      shift_thresholds=[0.05, 0.1, 0.2],
+                                      iou_3d_thresholds=[0.25, 0.50, 0.75])
+        print("IoU75, 5 degree, 5% translation:  {:.2f}".format(aps[-1, 0, 0, 2] * 100))
+        print("IoU75, 10 degree, 5% translation: {:.2f}".format(aps[-1, 1, 0, 2] * 100))
+        print("IoU50, 10 degree, 10% translation: {:.2f}".format(aps[-1, 1, 1, 1] * 100))
+        return aps
+
+    iou_thres_list = [0.10, 0.25, 0.50, 0.75]
+    degree_thres_list = [5, 10]
+    shift_thres_list = [2, 5]
+    iou_3d_aps, pose_aps = compute_independent_mAP(
+        final_results, SYNSET_NAMES, degree_thresholds=degree_thres_list,
+        shift_thresholds=shift_thres_list, iou_3d_thresholds=iou_thres_list)
+    print("3D IoU at 25: {:.1f}".format(iou_3d_aps[-1, 1] * 100))
+    print("3D IoU at 50: {:.1f}".format(iou_3d_aps[-1, 2] * 100))
+    print("3D IoU at 75: {:.1f}".format(iou_3d_aps[-1, 3] * 100))
+    print("5 degree, 2cm: {:.1f}".format(pose_aps[-1, 0, 0] * 100))
+    print("5 degree, 5cm: {:.1f}".format(pose_aps[-1, 0, 1] * 100))
+    print("10 degree, 2cm: {:.1f}".format(pose_aps[-1, 1, 0] * 100))
+    print("10 degree, 5cm: {:.1f}".format(pose_aps[-1, 1, 1] * 100))
+    return iou_3d_aps, pose_aps
+
+
+def _main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Standalone NOCS scorer for results pkls "
+                    "(python -m catre_tpu.eval.nocs_eval results.pkl)")
+    p.add_argument("path")
+    p.add_argument("--combination", action="store_true",
+                   help="joint IoU+degree+shift mAP instead of independent")
+    args = p.parse_args(argv)
+    evaluate(args.path, combination=args.combination)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

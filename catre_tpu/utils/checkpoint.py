@@ -105,20 +105,69 @@ def torch_state_dict_to_params(sd: Mapping[str, Any]) -> dict:
     return {"pcl_net": pcl_net, "rot_head": rot_head, "ts_head": ts_head}
 
 
-def load_torch_checkpoint(path: str) -> dict:
-    """Load a torch .pth checkpoint file and convert to flax params.
+def _strip_ddp_prefix(sd: Mapping[str, Any]) -> Mapping[str, Any]:
+    """Drop a uniform 'module.' prefix (DDP-saved state dicts; the reference
+    strips it via consume_prefix_in_state_dict_if_present,
+    `my_checkpoint.py:76-79`)."""
+    keys = [k for k in sd.keys() if isinstance(k, str)]
+    if keys and all(k.startswith("module.") for k in keys):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
 
-    Handles both bare state dicts and {'model': state_dict} containers
-    (fvcore Checkpointer format, ref `core/utils/my_checkpoint.py:70-84`).
+
+def load_torch_state_dict(path: str) -> Mapping[str, Any]:
+    """Load a reference-format checkpoint container into a flat state dict.
+
+    Mirrors `core/utils/my_checkpoint.py:48-84` (_load_file): torch .pth
+    (bare or {'model': ...} fvcore container), detectron2 model-zoo .pkl
+    ({'model', '__author__'}), Caffe2/Detectron1 .pkl ('blobs' +
+    *_momentum/weight_order pruning), torchvision:// names and http(s) URLs
+    (resolved through torch.hub's checkpoint cache).
     """
-    import torch
+    import pickle
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(ckpt, dict) and "model" in ckpt and not any("." in k for k in ckpt):
-        sd = ckpt["model"]
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        if "model" in data and "__author__" in data:
+            sd = data["model"]  # detectron2 model-zoo format
+        else:
+            if "blobs" in data:  # Caffe2 / Detectron1
+                data = data["blobs"]
+            sd = {k: v for k, v in data.items() if not str(k).endswith("_momentum")}
+            sd.pop("weight_order", None)
+    elif path.startswith("torchvision://"):
+        try:
+            import torchvision.models as tvm
+        except ImportError as e:
+            raise RuntimeError(
+                "torchvision:// checkpoints need torchvision installed "
+                "(the reference resolves them through mmcv's torchvision "
+                "model zoo, my_checkpoint.py:70-71)") from e
+        name = path[len("torchvision://"):]
+        weights = tvm.get_model_weights(name).DEFAULT
+        import torch.hub
+
+        sd = torch.hub.load_state_dict_from_url(weights.url, map_location="cpu")
+    elif path.startswith(("http://", "https://")):
+        import torch.hub
+
+        sd = torch.hub.load_state_dict_from_url(path, map_location="cpu")
     else:
-        sd = ckpt
-    return torch_state_dict_to_params(sd)
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, dict) and "model" in ckpt and not any("." in k for k in ckpt):
+            sd = ckpt["model"]
+        else:
+            sd = ckpt
+    return _strip_ddp_prefix(sd)
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference checkpoint (any `my_checkpoint.py:48-84` container
+    format) and convert to flax params."""
+    return torch_state_dict_to_params(load_torch_state_dict(path))
 
 
 # ------------------------- orbax native checkpoints -------------------------

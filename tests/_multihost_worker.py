@@ -175,6 +175,8 @@ def worker_main():
     loader.seed = 42
     loader._pos = 0
     loader._perm_cache = None
+    loader._epoch_cum = [0]
+    loader._rep_factors = None
     import itertools
 
     n_take = len(range(rank, len(dicts), world))  # this rank's share of epoch 1

@@ -212,3 +212,36 @@ def test_pairwise_degree_cm_180_symmetry_classes():
                     pred_RTs[i], gt_RTs[j], gt_cls[j], gt_hv[j], synset
                 )
                 np.testing.assert_allclose(ours[i, j], ref, atol=1e-9)
+
+
+def test_combination_map_matches_reference():
+    """Joint (IoU AND degree AND shift) mAP golden vs the imported reference
+    (`test_utils.py:394-520`)."""
+    from catre_tpu.eval.nocs_eval import compute_combination_mAP
+
+    results = [_rand_result(n_gt=RNG.integers(1, 5), n_pred=RNG.integers(1, 6))
+               for _ in range(12)]
+    ours = compute_combination_mAP(
+        results, SYNSET_NAMES, degree_thresholds=[5, 10, 20],
+        shift_thresholds=[0.05, 0.1, 0.2], iou_3d_thresholds=[0.25, 0.5, 0.75])
+    theirs = ref_tu.compute_combination_mAP(
+        results, SYNSET_NAMES, degree_thresholds=[5, 10, 20],
+        shift_thresholds=[0.05, 0.1, 0.2], iou_3d_thresholds=[0.25, 0.5, 0.75])
+    np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+
+def test_standalone_scorer_cli(tmp_path, capsys):
+    """`python -m catre_tpu.eval.nocs_eval results.pkl` scores a pkl like the
+    reference's `evaluate(path)` tool (`test_utils.py:927-965`)."""
+    import pickle
+
+    from catre_tpu.eval.nocs_eval import _main
+
+    results = {f"scene/{i:04d}": _rand_result(3, 3) for i in range(6)}
+    path = tmp_path / "results.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(results, f)
+    assert _main([str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "3D IoU at 75" in out and "5 degree, 2cm" in out
+    assert _main([str(path), "--combination"]) == 0

@@ -193,3 +193,37 @@ def test_device_batches_keeps_pcl_on_device(fake_real_root):  # noqa: F811
         assert isinstance(b["pcl"], jax.Array)
         np.testing.assert_allclose(np.asarray(b["pcl"]), a["pcl"], atol=0)
         np.testing.assert_array_equal(a["valid"], b["valid"])
+
+
+def test_repeat_factor_sampler(fake_real_root):  # noqa: F811
+    """RepeatFactorTrainingSampler (`my_distributed_sampler.py:172-200`):
+    rare-category images recur ~sqrt(t/f) x more often; skip() determinism
+    holds across variable-length epochs."""
+    from catre_tpu.data.loader import repeat_factors_from_category_frequency
+
+    # 8 images of category 0, 2 of category 5 (rare: f=0.2)
+    dicts = []
+    for i in range(10):
+        cat = 5 if i >= 8 else 0
+        dicts.append({"id": i, "annotations": [{"category_id": cat}]})
+    rf = repeat_factors_from_category_frequency(dicts, repeat_thresh=0.8)
+    np.testing.assert_allclose(rf[:8], 1.0)  # f=0.8 >= t -> no repeat
+    np.testing.assert_allclose(rf[8:], 2.0)  # sqrt(0.8/0.2) = 2
+
+    cfg = LoaderConfig(num_pcl=16, max_objs_per_image=1,
+                       sampler_train="RepeatFactorTrainingSampler",
+                       repeat_threshold=0.8)
+    loader = CATRELoader(dicts, cfg, phase="train", ims_per_batch=1, seed=2)
+    ids = [didx for _, didx, _ in
+           (next(loader._train_records()) for _ in range(120))]
+    counts = np.bincount(ids, minlength=10)
+    # rare images sampled ~2x as often as common ones in expectation
+    assert counts[8:].mean() > 1.5 * counts[:8].mean()
+    # epochs are exactly 12 long here (integral factors): 8*1 + 2*2
+    assert loader._epoch_cum[1] == 12
+
+    # position addressing is stable across a skip
+    l2 = CATRELoader(dicts, cfg, phase="train", ims_per_batch=1, seed=2)
+    l2.skip(50)
+    tail = [didx for _, didx, _ in (next(l2._train_records()) for _ in range(30))]
+    assert tail == ids[50:80]

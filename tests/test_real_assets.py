@@ -205,3 +205,51 @@ def test_released_ckpt_matches_recorded_outputs():
     tr = np.einsum("bij,bij->b", got[:, :3, :3], want[:, :3, :3])
     deg = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
     assert (deg < 0.5).all(), deg
+
+
+@needs_ckpt
+def test_released_ckpt_orbax_roundtrip(tmp_path):
+    """Converted released weights survive an orbax save/restore bitwise
+    (the deployment path: convert once, serve from orbax)."""
+    from catre_tpu.utils import checkpoint as ckpt
+
+    params = _load_real_params()
+    ckpt.save_checkpoint(str(tmp_path / "ck"), 0, {"params": params}, keep=1)
+    restored = ckpt.load_checkpoint(str(tmp_path / "ck"), {"params": params})
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_ckpt
+@needs_frames
+@pytest.mark.slow
+def test_released_ckpt_spd_subset_eval(tmp_path):
+    """Mini repro of scripts/repro_real275.sh: first 20 REAL275 frames with
+    SPD initial poses through do_test — tables must emerge and the final
+    iteration must not degrade the SPD init's 3D-IoU mAP."""
+    init_json = osp.join(DATA_ROOT, "NOCS", "test_init_poses",
+                         "init_pose_spd_nocs_real.json")
+    if not osp.isfile(init_json):
+        pytest.skip(f"no SPD init file at {init_json}")
+    from catre_tpu.config.loader import apply_overrides, load_config
+    from catre_tpu.data.nocs import _DATASET_REGISTRY, NOCSDataset
+    from catre_tpu.engine.runner import do_test
+
+    cfg = load_config(osp.join(
+        osp.dirname(__file__), "../catre_tpu/configs/nocs_real/"
+        "aug05_kpsMS_r9d_catreDisR_shared_tspcl_convPerRot_scaleexp_120e.py"))
+    apply_overrides(cfg, [
+        f"MODEL.WEIGHTS='{CKPT_PATH}'",
+        f"DATASETS.INIT_POSE_FILES_TEST=('{init_json}',)",
+        "TEST.IMS_PER_BATCH=4",
+    ])
+    cfg["OUTPUT_DIR"] = str(tmp_path / "out")
+    ds = NOCSDataset("nocs_test_real", image_root=REAL_ROOT, use_cache=False)
+    sub = NOCSDataset("nocs_test_real", image_root=REAL_ROOT, use_cache=False)
+    dicts = ds()[:20]
+    sub.__call__ = lambda: dicts  # noqa: E731 — subset view
+    _DATASET_REGISTRY["nocs_test_real"] = lambda: dicts
+    res = do_test(cfg)["nocs_test_real"]["results"]
+    assert 0 in res and 4 in res
+    assert res[4]["summary"]["IoU75"] >= res[0]["summary"]["IoU75"] - 0.5
