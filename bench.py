@@ -104,8 +104,12 @@ def bench_pipeline(n_frames: int = 96, ims_per_batch: int = 32, n_iter: int = 4)
                                  ims_per_batch=ims_per_batch, num_workers=4)
             evaluator = CATREEvaluator(records, n_iters=n_iter, output_dir=None)
             t0 = time.perf_counter()
+            # probes off: the pipeline line measures pure overlapped e2e;
+            # reference-semantics synchronized compute comes from do_test's
+            # default probing (eval/evaluator.py run_inference docstring)
             stats = run_inference(refine, params, iter(loader), evaluator,
-                                  n_iters=n_iter, warmup=warmup)
+                                  n_iters=n_iter, warmup=warmup,
+                                  compute_probe_every=0)
             return stats, time.perf_counter() - t0
 
         one_pass(warmup=1)  # compile + warm

@@ -194,6 +194,7 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         depth_sample_ball_ratio=float(inp.get("DEPTH_SAMPLE_BALL_RATIO", 0.5)),
         sample_depth_from_ball=bool(inp.get("SAMPLE_DEPTH_FROM_BALL", True)),
         fps_sample=bool(inp.get("FPS_SAMPLE", False)),
+        sample_window=int(inp.get("SAMPLE_WINDOW", 0)),
         aug_depth=bool(inp.get("AUG_DEPTH", False)) and phase == "train",
         drop_depth_prob=float(inp.get("DROP_DEPTH_PROB", 0.5)),
         drop_depth_ratio=float(inp.get("DROP_DEPTH_RATIO", 0.2)),
@@ -203,7 +204,10 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         cache_decoded=str(cfg.DATALOADER.get("CACHE_DECODED", "")),
         pcl_with_color=bool(inp.get("PCL_WITH_COLOR", False)),
         color_aug_prob=float(inp.get("COLOR_AUG_PROB", 0.0)) if phase == "train" else 0.0,
+        color_aug_type=str(inp.get("COLOR_AUG_TYPE", "aae")),
+        color_aug_code=str(inp.get("COLOR_AUG_CODE", "")),
         change_bg_prob=float(inp.get("CHANGE_BG_PROB", 0.0)) if phase == "train" else 0.0,
+        truncate_fg=bool(inp.get("TRUNCATE_FG", False)),
         bg_image_dir=str(inp.get("BG_IMGS_ROOT", "")),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
         sampler_train=str(cfg.DATALOADER.get("SAMPLER_TRAIN", "TrainingSampler")),

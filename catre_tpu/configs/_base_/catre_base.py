@@ -23,6 +23,9 @@ INPUT = dict(
     SAMPLE_DEPTH_FROM_BALL=True,
     DEPTH_SAMPLE_BALL_RATIO=0.5,
     FPS_SAMPLE=False,
+    # TPU fast path: per-instance mask-bbox candidate window for the device
+    # ball-crop (0 = full image, reference-exact; see ops/sampling.py)
+    SAMPLE_WINDOW=0,
     MAX_SYM_DISC_STEP=0.01,
     BBOX_TYPE_TEST="est",  # est | gt
     INIT_POSE_TYPE_TRAIN=["gt_noise"],  # gt_noise | random | canonical | last_frame
@@ -57,7 +60,10 @@ INPUT = dict(
     # color / background aug for the RGB point path (ref common_base.py:41,
     # base_data_loader color+bg augmentors; off in the shipped recipe)
     COLOR_AUG_PROB=0.0,
+    COLOR_AUG_TYPE="aae",  # roi10d | aae | code (ref common_base.py:42)
+    COLOR_AUG_CODE="",     # chain string for COLOR_AUG_TYPE="code"
     CHANGE_BG_PROB=0.0,
+    TRUNCATE_FG=False,     # bg-replace half-plane fg occlusion (ref :55)
     BG_IMGS_ROOT="",
 )
 

@@ -56,6 +56,9 @@ class LoaderConfig:
     depth_sample_ball_ratio: float = 0.6
     sample_depth_from_ball: bool = True
     fps_sample: bool = False
+    # INPUT.SAMPLE_WINDOW: per-instance mask-bbox-centered candidate window
+    # (0 = full image; see ops/sampling.py batch_ball_crop)
+    sample_window: int = 0
     aug_depth: bool = True
     drop_depth_prob: float = 0.5
     drop_depth_ratio: float = 0.2
@@ -65,7 +68,10 @@ class LoaderConfig:
     with_nocs: bool = False  # sample aligned NOCS coords (nocs-head variants)
     pcl_with_color: bool = False  # sample aligned RGB (INPUT.PCL_WITH_COLOR)
     color_aug_prob: float = 0.0   # INPUT.COLOR_AUG_PROB (train, RGB path)
+    color_aug_type: str = "aae"   # INPUT.COLOR_AUG_TYPE (roi10d|aae|code)
+    color_aug_code: str = ""      # INPUT.COLOR_AUG_CODE (for type "code")
     change_bg_prob: float = 0.0   # INPUT.CHANGE_BG_PROB (train, RGB path)
+    truncate_fg: bool = False     # INPUT.TRUNCATE_FG (bg-replace occlusion)
     bg_image_dir: str = ""        # background still-image pool
     max_objs_per_image: int = 8
     # DATALOADER.SAMPLER_TRAIN: TrainingSampler | RepeatFactorTrainingSampler
@@ -298,7 +304,7 @@ _SAMPLER_CACHE: dict = {}
 
 def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
     key = (kind, cfg.depth_sample_ball_ratio, cfg.num_pcl, cfg.fps_sample,
-           cfg.max_objs_per_image, train_aug)
+           cfg.max_objs_per_image, train_aug, cfg.sample_window)
     if train_aug:
         key += (cfg.drop_depth_prob, cfg.drop_depth_ratio,
                 cfg.add_noise_depth_prob, cfg.add_noise_depth_level)
@@ -341,7 +347,7 @@ def _make_one_image_fn(cfg: LoaderConfig, train_aug: bool):
         return batch_ball_crop(
             key, cloud, masks, poses, scales,
             ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
-            fps_sample=cfg.fps_sample,
+            fps_sample=cfg.fps_sample, window_size=cfg.sample_window,
         )
 
     return one
@@ -439,6 +445,12 @@ class CATRELoader:
                 dataset_dicts, cfg.repeat_threshold)
         elif phase == "train" and cfg.sampler_train not in ("", "TrainingSampler"):
             raise ValueError(f"unknown SAMPLER_TRAIN {cfg.sampler_train!r}")
+        self._color_augmentor = None
+        if cfg.pcl_with_color and cfg.color_aug_prob > 0 and phase == "train":
+            from .aug_color import build_color_augmentor
+
+            self._color_augmentor = build_color_augmentor(
+                cfg.color_aug_type, cfg.color_aug_code, seed=seed)
         self._last_frame = None
         if cfg.init_pose_train_path:
             import pickle
@@ -837,10 +849,13 @@ class CATRELoader:
                     if (self.cfg.change_bg_prob > 0 and self.cfg.bg_image_dir
                             and rng.random() < self.cfg.change_bg_prob):
                         fg = np.asarray(data["fg_any"])
-                        rgb = replace_background(rng, rgb, fg, self.cfg.bg_image_dir)
+                        rgb = replace_background(rng, rgb, fg,
+                                                 self.cfg.bg_image_dir,
+                                                 truncate_fg=self.cfg.truncate_fg)
                     if (self.cfg.color_aug_prob > 0
                             and rng.random() < self.cfg.color_aug_prob):
-                        rgb = color_augment(rng, np.ascontiguousarray(rgb))
+                        rgb = color_augment(rng, np.ascontiguousarray(rgb),
+                                            augmentor=self._color_augmentor)
                 rgb_map = rgb.reshape(-1, 3).astype(np.float32) / 255.0
                 data["pcl_rgb"] = rgb_map[data["pcl_idx"]]
         if self._last_frame is not None:

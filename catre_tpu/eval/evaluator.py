@@ -195,11 +195,23 @@ class CATREEvaluator:
 
 def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                   n_iters: int, warmup: int = 1, kps_type: str = "mean_shape",
-                  num_kps: int = 1024, mesh=None) -> dict:
+                  num_kps: int = 1024, mesh=None,
+                  compute_probe_every: int = 8) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
     the initial estimates.
+
+    Timing semantics: refine dispatches are async and overlapped with the
+    loader, so the per-batch dispatch->fetch interval measures pipeline
+    attribution, NOT device time. Every `compute_probe_every`-th post-warmup
+    batch is therefore PROBED synchronously — the pipeline is drained first,
+    then upload+dispatch->scalar-fetch is timed — giving `compute_s_per_img`
+    the reference's cuda-synchronized meaning (its span also includes the
+    .to(cuda) batch transfer: `catre_evaluator.py:267-313` starts the timer
+    before batch_data) while the remaining batches keep the
+    overlap (`overlap_fetch_s_per_img` reports the overlapped attribution).
+    Set compute_probe_every=0 to disable probing (max throughput).
 
     With a mesh, instance rows are sharded across the devices (eval-time data
     parallelism the reference declares incorrect for its DDP evaluator,
@@ -228,6 +240,8 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     total_compute = 0.0
     total_process = 0.0
     n_images = 0
+    probe_s = 0.0
+    probe_images = 0
     start = time.perf_counter()
 
     def finish(entry):
@@ -269,6 +283,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     for i, batch in enumerate(loader):
         if batch.get("empty"):
             continue
+        probe = (compute_probe_every > 0 and i >= warmup
+                 and (i - warmup) % compute_probe_every == 0)
+        if probe and pending is not None:
+            finish(pending)  # drain the pipeline so the probe times ONLY
+            pending = None   # this batch's device work
         t0 = time.perf_counter()
         # host numpy in, host numpy out (for mean_shape): put() then ships
         # every input in a single host->sharded-placement transfer
@@ -281,6 +300,12 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
             put(batch["K"]), put(batch["obj_mean_scales"]),
         )
+        if probe:
+            # force completion (block_until_ready is unreliable through the
+            # axon relay — fetch a scalar)
+            float(np.asarray(poses)[-1, 0, 0, 0])
+            probe_s += time.perf_counter() - t0
+            probe_images += sum(1 for s in batch["scene_im_ids"] if s is not None)
         entry = (i, batch, poses, scales, t0)
         if pending is not None:
             finish(pending)
@@ -292,7 +317,12 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     stats = {
         "images": n_images,
         "total_s": wall,
-        "compute_s_per_img": total_compute / max(n_images, 1),
+        # synchronized pure device compute (probe batches; reference
+        # semantics, catre_evaluator.py:312-319)
+        "compute_s_per_img": probe_s / probe_images if probe_images else
+        total_compute / max(n_images, 1),
+        # overlapped dispatch->fetch attribution (pipeline view)
+        "overlap_fetch_s_per_img": total_compute / max(n_images, 1),
         "process_s_per_img": total_process / max(n_images, 1),
     }
     logger.info("inference stats: %s", stats)

@@ -83,10 +83,11 @@ def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points:
     return pts[idx], idx, n_inside
 
 
-@partial(jax.jit, static_argnames=("ratio", "num_points", "fps_sample"))
+@partial(jax.jit, static_argnames=("ratio", "num_points", "fps_sample",
+                                   "window_size"))
 def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndarray,
                     scales: jnp.ndarray, ratio: float, num_points: int,
-                    fps_sample: bool = False):
+                    fps_sample: bool = False, window_size: int = 0):
     """Per-instance ball-crop over one image's organized cloud.
 
     Args:
@@ -95,15 +96,52 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
       poses: (I, 3, 4) initial poses; scales: (I, 3)
       fps_sample: FPS instead of random choice among in-ball points
         (the INPUT.FPS_SAMPLE ablation, `crop_ball_from_pts:304-307`)
+      window_size: when > 0, each instance's candidate field is a
+        window_size^2 window centered on ITS OWN mask bbox instead of the
+        full H*W image — identical semantics whenever the window covers the
+        mask (candidates are mask∧depth pixels; the mask has no pixels
+        outside its bbox) at a fraction of the per-instance top-k/reduction
+        cost. Masks larger than the window lose border pixels (use 0 or a
+        bigger window for such datasets).
     Returns:
       (pcls (I, num_points, 3), idx (I, num_points) flat pixel indices into
        the H*W cloud — for gathering aligned per-point data (nocs, rgb) —
        and n_inside (I,))
     """
     n_inst = masks.shape[0]
+    h, w = cloud.shape[:2]
+    keys = jax.random.split(key, n_inst)
+
+    if window_size and not fps_sample and (window_size < h or window_size < w):
+        ws = int(window_size)
+
+        def one_windowed(k, mask, pose, scale):
+            # mask bbox center -> clamped window origin (device-side: the
+            # host never sees the masks in the cached path)
+            rows = jnp.any(mask, axis=1)
+            cols = jnp.any(mask, axis=0)
+            ridx = jnp.arange(h)
+            cidx = jnp.arange(w)
+            r_min = jnp.min(jnp.where(rows, ridx, h))
+            r_max = jnp.max(jnp.where(rows, ridx, -1))
+            c_min = jnp.min(jnp.where(cols, cidx, w))
+            c_max = jnp.max(jnp.where(cols, cidx, -1))
+            r0 = jnp.clip((r_min + r_max + 1 - ws) // 2, 0, max(h - ws, 0))
+            c0 = jnp.clip((c_min + c_max + 1 - ws) // 2, 0, max(w - ws, 0))
+            cloud_w = jax.lax.dynamic_slice(cloud, (r0, c0, 0), (ws, ws, 3))
+            mask_w = jax.lax.dynamic_slice(mask, (r0, c0), (ws, ws))
+            pts = cloud_w.reshape(-1, 3)
+            valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
+            sampled, idx_w, n_in = crop_ball_from_cloud(
+                k, pts, valid, pose, scale, ratio, num_points)
+            # window index -> flat image pixel index (nocs/rgb alignment)
+            idx = (r0 + idx_w // ws) * w + (c0 + idx_w % ws)
+            return sampled, idx.astype(jnp.int32), n_in
+
+        return jax.vmap(one_windowed)(keys, masks, poses, scales)
+
     pts = cloud.reshape(-1, 3)
     depth_ok = pts[:, 2] > 0
-    keys = jax.random.split(key, n_inst)
 
     def one(k, mask, pose, scale):
         valid = mask.reshape(-1) & depth_ok

@@ -42,8 +42,12 @@ import optax
 tmap = jax.tree_util.tree_map
 
 
-def _gc(g, gc_conv_only: bool = False):
-    """Gradient centralization (`ranger2020.py:31-57`, flax layout)."""
+def _gc(g, gc_conv_only: bool = False, name: str = ""):
+    """Gradient centralization (`ranger2020.py:31-57`, flax layout). The rot
+    head's flat (P,) point_weight corresponds to a torch Conv1d (1, P, 1)
+    weight — centralized over ALL elements, like `solver/ranger.py`."""
+    if name == "point_weight" and not gc_conv_only:
+        return g - jnp.mean(g)
     if gc_conv_only:
         if g.ndim > 3:
             return g - jnp.mean(g, axis=tuple(range(g.ndim - 1)), keepdims=True)
@@ -51,6 +55,11 @@ def _gc(g, gc_conv_only: bool = False):
     if g.ndim > 1:
         return g - jnp.mean(g, axis=tuple(range(g.ndim - 1)), keepdims=True)
     return g
+
+
+def _leaf_name(path) -> str:
+    last = path[-1]
+    return last.key if hasattr(last, "key") else str(last)
 
 
 def _rect_terms(t, b1: float, b2: float, n_sma_threshold: float):
@@ -106,7 +115,8 @@ def _ranger_core(learning_rate, alpha, k, n_sma_threshold, b1, b2, eps,
             # coupled decay: grad += wd * p BEFORE gc (`ranger_adabelief.py:146`)
             updates = tmap(lambda g, p: g + weight_decay * p, updates, params)
         if use_gc and gc_loc:
-            updates = tmap(lambda g: _gc(g, gc_conv_only), updates)
+            updates = jax.tree_util.tree_map_with_path(
+                lambda p, g: _gc(g, gc_conv_only, _leaf_name(p)), updates)
 
         exp_avg = tmap(lambda m, g: b1 * m + (1 - b1) * g, state.exp_avg, updates)
         if adabelief:
@@ -126,7 +136,7 @@ def _ranger_core(learning_rate, alpha, k, n_sma_threshold, b1, b2, eps,
             exp_avg_sq = tmap(lambda v: jnp.where(rectified, v + eps, v),
                               exp_avg_sq)
 
-        def g_grad(p, m, v):
+        def g_grad(path, p, m, v):
             # reference aliasing quirk: in the NON-rectified branch
             # `G_grad = exp_avg` is the state tensor itself, so the decoupled
             # weight-decay add_ and the gc_loc=False centralization MUTATE
@@ -138,7 +148,7 @@ def _ranger_core(learning_rate, alpha, k, n_sma_threshold, b1, b2, eps,
                 if weight_decouple and weight_decay != 0.0:
                     G = G + weight_decay * p
                 if use_gc and not gc_loc:
-                    G = _gc(G, gc_conv_only)
+                    G = _gc(G, gc_conv_only, _leaf_name(path))
                 return G
 
             G_rect = tail(m / denom)
@@ -148,7 +158,8 @@ def _ranger_core(learning_rate, alpha, k, n_sma_threshold, b1, b2, eps,
             m_store = jnp.where(rectified, m, G_plain)
             return upd, m_store
 
-        pairs_g = tmap(g_grad, params, exp_avg, exp_avg_sq)
+        pairs_g = jax.tree_util.tree_map_with_path(g_grad, params, exp_avg,
+                                                   exp_avg_sq)
         is_pair = lambda x: isinstance(x, tuple)
         upd = tmap(lambda pr: pr[0], pairs_g, is_leaf=is_pair)
         exp_avg = tmap(lambda pr: pr[1], pairs_g, is_leaf=is_pair)
@@ -273,7 +284,7 @@ def ranger21(learning_rate: float, weight_decay: float = 1e-4,
     decay and norm loss are per-parameter (see module docstring re the
     reference's phase-2 leftover-`p` bug)."""
 
-    def prep_grad(p, g, second_pass: bool):
+    def prep_grad(p, g, second_pass: bool, name: str = ""):
         # phase-1 in-place mutation semantics: AGC + GC land in p.grad, and
         # phase 2 re-applies GC (idempotent) and std-normalization (NOT
         # idempotent) to the already-normalized grad (`ranger21.py:383-400`
@@ -281,7 +292,7 @@ def ranger21(learning_rate: float, weight_decay: float = 1e-4,
         if use_adaptive_gradient_clipping and not second_pass:
             g = _agc(p, g, agc_clipping_value, agc_eps)
         if using_gc:
-            g = _gc(g, gc_conv_only)
+            g = _gc(g, gc_conv_only, name)
         if using_normgc:
             g = _grad_normalize(g)
         return g
@@ -303,8 +314,9 @@ def ranger21(learning_rate: float, weight_decay: float = 1e-4,
         bc1 = 1.0 - jnp.power(b1, tf)
         bc2 = 1.0 - jnp.power(b2, tf)
 
-        grad1 = tmap(lambda p, g: prep_grad(p, g, second_pass=False),
-                     params, updates)
+        grad1 = jax.tree_util.tree_map_with_path(
+            lambda pa, p, g: prep_grad(p, g, False, _leaf_name(pa)),
+            params, updates)
         variance_ma = tmap(lambda v, g: b2 * v + (1 - b2) * g * g,
                            state.variance_ma, grad1)
 
@@ -314,8 +326,9 @@ def ranger21(learning_rate: float, weight_decay: float = 1e-4,
         n_params = sum(v.size for v in jax.tree_util.tree_leaves(variance_ma))
         variance_normalized = jnp.sqrt(var_sum / bc2 / n_params)
 
-        grad2 = tmap(lambda p, g: prep_grad(p, g, second_pass=True),
-                     params, grad1)
+        grad2 = jax.tree_util.tree_map_with_path(
+            lambda pa, p, g: prep_grad(p, g, True, _leaf_name(pa)),
+            params, grad1)
 
         # positive-negative momentum: buffers alternate by step parity
         # (`ranger21.py:556-566,587-600`)

@@ -74,6 +74,44 @@ def render_obb_depth(K: np.ndarray, R: np.ndarray, t: np.ndarray,
     return depth, bbox
 
 
+def render_points_depth(K: np.ndarray, R: np.ndarray, t: np.ndarray,
+                        pts_obj: np.ndarray, h: int, w: int, splat: int = 5):
+    """Depth of a posed object POINT CLOUD via z-buffered square splats.
+
+    Used for category-mean-shape instances: rotation refinement is only
+    learnable when the observed cloud matches the prior keypoints' shape
+    (a box observation vs a bottle prior leaves ΔR unobservable from the
+    input — 180-degree box flips produce identical clouds — and a model
+    trained on that data correctly learns the identity rotation delta;
+    measured in round 3, docs/TRAINRUN.md). Splat holes are realistic —
+    the ball-crop samples mask∧depth>0 pixels.
+    """
+    cam = pts_obj @ R.T + t
+    z = cam[:, 2]
+    keep = z > 1e-3
+    cam = cam[keep]
+    z = z[keep]
+    u = np.round(cam[:, 0] / z * K[0, 0] + K[0, 2]).astype(int)
+    v = np.round(cam[:, 1] / z * K[1, 1] + K[1, 2]).astype(int)
+    depth = np.full((h, w), np.inf, np.float32)
+    half = splat // 2
+    order = np.argsort(-z)  # nearer points splat last (win ties cleanly)
+    for du in range(-half, half + 1):
+        for dv in range(-half, half + 1):
+            uu = np.clip(u[order] + du, 0, w - 1)
+            vv = np.clip(v[order] + dv, 0, h - 1)
+            # per-pixel min depth: nearer (later) writes overwrite
+            cur = depth[vv, uu]
+            zi = z[order].astype(np.float32)
+            depth[vv, uu] = np.where(zi < cur, zi, cur)
+    depth[~np.isfinite(depth)] = 0.0
+    ys, xs = np.nonzero(depth)
+    if len(ys) == 0:
+        return depth, None
+    bbox = [int(ys.min()), int(xs.min()), int(ys.max()), int(xs.max())]
+    return depth, bbox
+
+
 def _pick_instances(no_mugs: bool):
     """Instance name per category from the shipped abs-scale pickle (so the
     loaded gt `scale` matches the rendered box exactly); synthesized
@@ -99,16 +137,28 @@ def _pick_instances(no_mugs: bool):
 
 def generate_split(root: str, split: str = "real_train", n_frames: int = 200,
                    n_objs: int = 6, seed: int = 0, no_mugs: bool | None = None,
-                   frames_per_scene: int = 100) -> str:
+                   frames_per_scene: int = 100, shape: str = "mean") -> str:
     """Write n_frames synthetic frames under root/<split>/scene_K/. Returns
     the image_root (= root). no_mugs defaults to True for train real splits
     (the real mug-handle visibility pickle cannot cover synthetic scenes,
-    `datasets/nocs.py:104-107`)."""
+    `datasets/nocs.py:104-107`).
+
+    shape="mean" (default): instances are the CATEGORY MEAN SHAPES scaled to
+    the instance extents — observations match the refiner's prior keypoints
+    like real data does, so rotation refinement is learnable (see
+    render_points_depth). shape="box": exact ray-traced oriented boxes
+    (hole-free depth; rotationally ambiguous — good for pipeline/throughput
+    benchmarks, NOT for training rotation)."""
     import cv2
 
     if no_mugs is None:
         no_mugs = "train" in split
     objs, inst_table = _pick_instances(no_mugs)
+    mean_shapes = None
+    if shape == "mean":
+        from ..data import assets
+
+        mean_shapes = assets.mean_shape_array()  # (6, 1024, 3) normalized
     h, w = meta.IM_HEIGHT, meta.IM_WIDTH
     K = np.asarray(meta.REAL_INTRINSICS if "real" in split else meta.CMRA_INTRINSICS,
                    np.float64)
@@ -145,7 +195,12 @@ def generate_split(root: str, split: str = "real_train", n_frames: int = 200,
             z = float(rng.uniform(0.7, 1.4))
             t = np.array([(cx - K[0, 2]) / K[0, 0] * z,
                           (cy - K[1, 2]) / K[1, 1] * z, z], np.float64)
-            depth_j, bbox = render_obb_depth(K, R, t, extents, h, w)
+            if mean_shapes is not None:
+                cat0 = meta.OBJ2ID[obj] - 1
+                pts_obj = mean_shapes[cat0].astype(np.float64) * extents
+                depth_j, bbox = render_points_depth(K, R, t, pts_obj, h, w)
+            else:
+                depth_j, bbox = render_obb_depth(K, R, t, extents, h, w)
             if bbox is None:
                 continue
             vis = depth_j > 0
@@ -188,9 +243,11 @@ def main(argv=None) -> int:
     p.add_argument("--objs", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-mugs", action="store_true", default=None)
+    p.add_argument("--shape", default="mean", choices=["mean", "box"])
     args = p.parse_args(argv)
     generate_split(args.out, split=args.split, n_frames=args.frames,
-                   n_objs=args.objs, seed=args.seed, no_mugs=args.no_mugs)
+                   n_objs=args.objs, seed=args.seed, no_mugs=args.no_mugs,
+                   shape=args.shape)
     print(f"wrote {args.frames} frames to {args.out}/{args.split}")
     return 0
 

@@ -26,6 +26,7 @@ class EventStorage:
         self._history: dict = defaultdict(lambda: deque(maxlen=window))
         self._latest: dict = {}
         self._images: list = []
+        self._histograms: list = []
 
     def put_scalar(self, name: str, value) -> None:
         v = float(value)
@@ -43,6 +44,18 @@ class EventStorage:
 
     def pop_images(self) -> list:
         out, self._images = self._images, []
+        return out
+
+    def put_histogram(self, name: str, values, bins: int = 30) -> None:
+        """Queue a histogram for the next TB write (d2 EventStorage
+        .put_histogram; flushed by the reference tb writer,
+        `my_writer.py:102-105`)."""
+        import numpy as np
+
+        self._histograms.append((name, np.asarray(values).ravel(), bins, self.iter))
+
+    def pop_histograms(self) -> list:
+        out, self._histograms = self._histograms, []
         return out
 
     def latest(self) -> dict:
@@ -113,11 +126,14 @@ class TensorboardWriter:
     def write(self, storage: EventStorage) -> None:
         if self._writer is None:
             storage.pop_images()  # drop queued images; keep memory bounded
+            storage.pop_histograms()
             return
         for k, (v, it) in storage.latest().items():
             self._writer.add_scalar(k, v, it)
         for name, img, it in storage.pop_images():
             self._writer.add_image(name, img, it, dataformats="HWC")
+        for name, values, bins, it in storage.pop_histograms():
+            self._writer.add_histogram(name, values, it, bins=bins)
 
     def close(self) -> None:
         if self._writer is not None:

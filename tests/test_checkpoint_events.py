@@ -63,3 +63,24 @@ def test_event_storage_and_writers(tmp_path):
     assert rec["iteration"] == 4 and "loss_total" in rec
 
     MetricPrinter(max_iter=10).write(storage)  # must not raise
+
+
+def test_tb_histograms(tmp_path):
+    """EventStorage.put_histogram flushes to tensorboard (the reference
+    writer's histogram path, `my_writer.py:102-105`)."""
+    import numpy as np
+
+    from catre_tpu.utils.events import EventStorage, TensorboardWriter
+
+    storage = EventStorage(0)
+    storage.put_histogram("grads/rot_head", np.random.default_rng(0).normal(size=256))
+    w = TensorboardWriter(str(tmp_path / "tb"))
+    w.write(storage)
+    w.close()
+    assert not storage._histograms  # drained
+
+    from tensorboard.backend.event_processing import event_accumulator
+
+    ea = event_accumulator.EventAccumulator(str(tmp_path / "tb"))
+    ea.Reload()
+    assert "grads/rot_head" in ea.Tags().get("histograms", [])

@@ -74,3 +74,80 @@ def test_loader_color_aug_changes_rgb(fake_real_root):  # noqa: F811
     assert (auged["pcl_rgb"] >= 0).all() and (auged["pcl_rgb"] <= 1).all()
     # same seed, same sampled indices -> any difference comes from the aug
     assert not np.allclose(auged["pcl_rgb"], plain["pcl_rgb"])
+
+
+def test_color_aug_selector_families():
+    """COLOR_AUG_TYPE selector (`base_data_loader.py:233-322`): roi10d, aae,
+    and the reference's own aae chain string via 'code'."""
+    from catre_tpu.data.aug_color import build_color_augmentor
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+    for t in ["roi10d", "aae"]:
+        aug = build_color_augmentor(t, seed=1)
+        out = aug(np.random.default_rng(2), img.copy())
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+    # the REFERENCE's shipped chain string evaluates against our namespace
+    code = """Sequential([
+        Sometimes(0.5, CoarseDropout( p=0.2, size_percent=0.05) ),
+        Sometimes(0.5, GaussianBlur(1.2*np.random.rand())),
+        Sometimes(0.5, Add((-25, 25), per_channel=0.3)),
+        Sometimes(0.3, Invert(0.2, per_channel=True)),
+        Sometimes(0.5, Multiply((0.6, 1.4), per_channel=0.5)),
+        Sometimes(0.5, Multiply((0.6, 1.4))),
+        Sometimes(0.5, LinearContrast((0.5, 2.2), per_channel=0.3))
+        ], random_order = False)"""
+    aug = build_color_augmentor("code", code)
+    out = aug(np.random.default_rng(3), img.copy())
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    with pytest.raises(NotImplementedError):
+        build_color_augmentor("code_albu", "Compose([])")
+    with pytest.raises(ValueError):
+        build_color_augmentor("nope")
+
+
+def test_color_aug_ops_semantics():
+    """Individual op behaviors match the imgaug semantics they mirror."""
+    from catre_tpu.data.aug_color import (CoarseDropout, Invert,
+                                          LinearContrast, Multiply)
+
+    img = np.full((40, 40, 3), 200, np.uint8)
+    rng = np.random.default_rng(0)
+    dropped = CoarseDropout(p=0.5, size_percent=0.1)(rng, img)
+    frac = (dropped == 0).all(-1).mean()
+    assert 0.2 < frac < 0.8  # coarse blocks actually dropped
+
+    inv = Invert(p=1.0, per_channel=False)(rng, img)
+    assert (inv == 55).all()
+
+    doubled = Multiply((2.0, 2.0))(rng, np.full((4, 4, 3), 100, np.uint8))
+    assert (doubled == 200).all()
+
+    flat = LinearContrast((0.0, 0.0))(rng, img)
+    assert (flat == 127).all()
+
+
+def test_truncate_fg_bg_replace(tmp_path):
+    """TRUNCATE_FG erases a half-plane of the foreground during background
+    replacement (`base_data_loader.py:412-437`)."""
+    import cv2
+
+    from catre_tpu.data.aug_color import replace_background
+
+    bg = np.full((32, 32, 3), 255, np.uint8)
+    cv2.imwrite(str(tmp_path / "bg.png"), bg)
+    img = np.zeros((32, 32, 3), np.uint8)
+    fg = np.zeros((32, 32), bool)
+    fg[8:24, 8:24] = True
+    # the cut position/side is random — a single draw may erase all or none
+    # of the fg; over seeds, partial truncation must occur
+    kept = [int((replace_background(np.random.default_rng(s), img, fg,
+                                    str(tmp_path), truncate_fg=True)[fg] == 0)
+                .all(-1).sum()) for s in range(10)]
+    assert any(0 < k < fg.sum() for k in kept), kept
+    # and without truncation the whole fg survives
+    out = replace_background(np.random.default_rng(0), img, fg, str(tmp_path))
+    assert (out[fg] == 0).all()

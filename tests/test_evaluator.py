@@ -182,3 +182,23 @@ def test_run_inference_warmup_accounting(fake_real_root):  # noqa: F811
     # but BOTH frames were evaluated
     assert len(evaluator._preds[0]) == 2 and len(evaluator._preds[1]) == 2
     assert stats["compute_s_per_img"] > 0
+
+
+def test_compute_probe_timing(fake_real_root):  # noqa: F811
+    """compute_s_per_img uses synchronized probe batches (reference timing
+    semantics, `catre_evaluator.py:267-319`); the overlapped attribution is
+    reported separately."""
+    dicts = _dicts_with_init(fake_real_root, noise=0.0)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+    loader = CATRELoader(dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4,
+                                             aug_depth=False),
+                         phase="test", ims_per_batch=1)
+    evaluator = CATREEvaluator(dicts, n_iters=1)
+    stats = run_inference(refine, params, iter(loader), evaluator,
+                          n_iters=1, warmup=0, compute_probe_every=1)
+    assert stats["compute_s_per_img"] > 0
+    assert stats["overlap_fetch_s_per_img"] >= 0
+    assert len(evaluator._preds[1]) == 2

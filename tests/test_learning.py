@@ -73,14 +73,15 @@ def test_refiner_learns_to_improve_pose():
     step = make_train_step(model, CFG, LossConfig(), noise, tx, sym_bank, n_iter=1)
 
     key = jax.random.PRNGKey(1)
-    for i in range(500):
+    for i in range(1500):
         key, k1, k2 = jax.random.split(key, 3)
         batch = _make_batch(16, k1)
-        state, metrics = step(state, batch, k2, 1e-3)
+        state, metrics = step(state, batch, k2, 2e-3)
 
-    # evaluation: refine noisy inits with the trained model
+    # evaluation: refine noisy inits with the trained model (64 samples to
+    # keep the single-draw eval noise well inside the assertion margins)
     key, k1, k2, k3 = jax.random.split(key, 4)
-    batch = _make_batch(32, k1)
+    batch = _make_batch(64, k1)
     from catre_tpu.data.aug import aug_poses_normal
 
     init_pose = aug_poses_normal(
@@ -96,9 +97,11 @@ def test_refiner_learns_to_improve_pose():
     re4 = float(jnp.mean(rotation_error_deg(poses[4, :, :3, :3], gt_R)))
     te4 = float(jnp.mean(translation_error(poses[4, :, :3, 3], gt_t)))
 
-    # translation refinement improves measurably within the short budget
-    # (~12% at 500 steps); rotation takes far longer (the reference trains
-    # ~150k steps) — require it not to diverge from the init. Deterministic
-    # under the fixed seeds.
-    assert te4 < te0 * 0.95, (te0, te4)
-    assert re4 < re0 * 1.5, (re0, re4)
+    # BOTH errors must genuinely improve over the init. Measured on the
+    # exact fresh-batch stream (lr 2e-3, n_iter 1): re ratio 0.83 @ 900,
+    # 0.56 @ 1200, 0.45 @ 1500 steps; te ratio plateaus ~0.83 from step 900
+    # — bounds leave ~25% margin for the end-eval draw. Deterministic under
+    # the fixed seeds. The fast default-suite gate is
+    # tests/test_fast_learning.py; the full-regime proof is docs/TRAINRUN.md.
+    assert te4 < te0 * 0.92, (te0, te4)
+    assert re4 < re0 * 0.6, (re0, re4)

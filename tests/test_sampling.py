@@ -117,3 +117,47 @@ def test_random_sample_without_replacement():
     sel = np.asarray(idx2)
     assert np.all(sel < 10)
     assert len(set(sel.tolist())) == 10
+
+
+def test_windowed_ball_crop_equivalence():
+    """window_size covering the mask bbox: identical candidate semantics to
+    the full-field path (same in-ball point multiset when the ball holds
+    fewer than num_points, same n_inside; flat indices map back to image
+    pixels)."""
+    import jax
+
+    from catre_tpu.ops.sampling import batch_ball_crop
+
+    h, w = 96, 128
+    K_depth = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[40:64, 60:90]
+    K_depth[ys, xs] = 1.0
+    cloud = np.zeros((h, w, 3), np.float32)
+    cloud[:, :, 2] = K_depth
+    cloud[:, :, 0] = (np.arange(w)[None, :] - 64.0) / 600.0
+    cloud[:, :, 1] = (np.arange(h)[:, None] - 48.0) / 600.0
+    mask = np.zeros((1, h, w), bool)
+    mask[0, 44:60, 64:80] = True  # 256 valid px < num_points
+    t = np.array([cloud[52, 72, 0], cloud[52, 72, 1], 1.0], np.float32)
+    pose = np.concatenate([np.eye(3, dtype=np.float32), t[:, None]], axis=1)[None]
+    scale = np.full((1, 3), 0.3, np.float32)
+
+    out_full = batch_ball_crop(jax.random.PRNGKey(0), jnp.asarray(cloud),
+                               jnp.asarray(mask), jnp.asarray(pose),
+                               jnp.asarray(scale), ratio=0.6, num_points=512)
+    out_win = batch_ball_crop(jax.random.PRNGKey(1), jnp.asarray(cloud),
+                              jnp.asarray(mask), jnp.asarray(pose),
+                              jnp.asarray(scale), ratio=0.6, num_points=512,
+                              window_size=48)
+    n_full = int(out_full[2][0])
+    n_win = int(out_win[2][0])
+    assert n_full == n_win == 256
+    # same candidate multiset: the unique flat pixel indices agree
+    set_full = set(np.asarray(out_full[1][0]).tolist())
+    set_win = set(np.asarray(out_win[1][0]).tolist())
+    assert set_full == set_win
+    # windowed flat indices decode to in-mask pixels
+    rr, cc = np.divmod(np.asarray(out_win[1][0]), w)
+    assert mask[0, rr, cc].all()
+    # sampled coordinates match the cloud at those pixels
+    np.testing.assert_allclose(np.asarray(out_win[0][0]), cloud[rr, cc], atol=0)

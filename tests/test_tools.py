@@ -136,3 +136,97 @@ def test_pose_data_label_generation(tmp_path):
     # 8-bit coord quantization limits precision
     assert label["scales"][0] == pytest.approx(s_gt, rel=0.05)
     np.testing.assert_allclose(label["translations"][0], t_gt, atol=0.02)
+
+
+def _synth_nocs_frame(tmp_path, s_gt=0.4, name="0000"):
+    """One synthetic NOCS-format frame (plate at z=1m, identity rotation);
+    returns (base_path, K, t_gt)."""
+    import cv2
+
+    from catre_tpu.data import meta
+
+    K = meta.REAL_INTRINSICS
+    h, w = meta.IM_HEIGHT, meta.IM_WIDTH
+    depth = np.zeros((h, w), dtype=np.uint16)
+    mask = np.zeros((h, w), dtype=np.uint8)
+    coord_bgr = np.zeros((h, w, 3), dtype=np.uint8)
+    cy, cx, half = 240, 320, 40
+    ys, xs = np.mgrid[cy - half : cy + half, cx - half : cx + half]
+    t_gt = np.array([(cx - K[0, 2]) / K[0, 0], (cy - K[1, 2]) / K[1, 1], 1.0])
+    X = (xs - K[0, 2]) / K[0, 0]
+    Y = (ys - K[1, 2]) / K[1, 1]
+    nocs = np.stack([(X - t_gt[0]) / s_gt, (Y - t_gt[1]) / s_gt,
+                     np.zeros_like(X)], axis=2)
+    rgb = np.clip((nocs + 0.5) * 255, 0, 255).astype(np.uint8)
+    bgr = rgb[:, :, ::-1].copy()
+    bgr[:, :, 0] = np.clip((1.0 - (nocs[:, :, 2] + 0.5)) * 255, 0, 255).astype(np.uint8)
+    depth[ys, xs] = 1000
+    mask[ys, xs] = 7
+    coord_bgr[ys, xs] = bgr
+    base = str(tmp_path / name)
+    cv2.imwrite(base + "_depth.png", depth)
+    cv2.imwrite(base + "_mask.png", mask)
+    cv2.imwrite(base + "_coord.png", coord_bgr)
+    with open(base + "_meta.txt", "w") as f:
+        f.write("7 1 bottle_red_stanford_norm\n")
+    return base, K, t_gt
+
+
+def test_pose_data_pnp_with_scale_factor(tmp_path):
+    """REAL-train PnP path: the NOCS scale comes from abs_scale a priori
+    (ref `pose_data.py:347-351, 381-389`) — pose recovered with the right
+    translation magnitude (the old hardcoded scale=1.0 path could not)."""
+    pytest.importorskip("cv2")
+    from catre_tpu.tools.pose_data import process_frame
+
+    s_gt = 0.4
+    base, K, t_gt = _synth_nocs_frame(tmp_path, s_gt=s_gt)
+    label = process_frame(base, K, method="pnp",
+                          scale_factors={"bottle_red_stanford_norm": s_gt})
+    assert label is not None and label["scales"][0] == pytest.approx(s_gt)
+    np.testing.assert_allclose(label["translations"][0], t_gt, atol=0.03)
+    np.testing.assert_allclose(label["rotations"][0], np.eye(3), atol=0.1)
+
+    with pytest.raises(KeyError):
+        process_frame(base, K, method="pnp", scale_factors={})
+
+
+def test_pose_data_test_merge(tmp_path):
+    """REAL-test gts merge (ref `pose_data.py:419-520`): match by class +
+    bbox, decompose gt_RTs, copy handle visibility, model sizes."""
+    pytest.importorskip("cv2")
+    from catre_tpu.tools.pose_data import (merge_test_gts,
+                                           model_sizes_from_points,
+                                           nocs_scale_factors)
+
+    s_gt = 0.4
+    base, K, t_gt = _synth_nocs_frame(tmp_path, s_gt=s_gt)
+    # the frame's single instance occupies rows/cols 200..279 / 280..359
+    bbox = [200, 280, 279, 359]
+    sRT = np.identity(4)
+    sRT[:3, :3] = s_gt * np.eye(3)
+    sRT[:3, 3] = t_gt
+    nocs_gt = {
+        "gt_class_ids": np.array([3, 1]),  # decoy first
+        "gt_bboxes": np.array([[0, 0, 10, 10], bbox]),
+        "gt_RTs": np.stack([np.identity(4), sRT]),
+        "gt_handle_visibility": np.array([1, 0]),
+    }
+    models = {"bottle_red_stanford_norm": np.array([[0.3, 0.5, 0.2],
+                                                    [-0.3, -0.5, -0.2]])}
+    sizes = model_sizes_from_points(models)
+    np.testing.assert_allclose(sizes["bottle_red_stanford_norm"], [0.6, 1.0, 0.4])
+
+    label = merge_test_gts(base, nocs_gt, sizes)
+    assert label is not None
+    assert label["handle_visibility"].tolist() == [0]  # matched entry 1
+    assert label["scales"][0] == pytest.approx(s_gt, rel=1e-5)
+    np.testing.assert_allclose(label["translations"][0], t_gt, atol=1e-6)
+    np.testing.assert_allclose(label["poses"][0][:3, :3], s_gt * np.eye(3),
+                               atol=1e-6)
+    assert nocs_scale_factors({"m": [3.0, 4.0, 0.0]})["m"] == pytest.approx(5.0)
+
+    # unmatched instance asserts (reference behavior, `pose_data.py:497-500`)
+    bad = dict(nocs_gt, gt_bboxes=np.array([[0, 0, 10, 10], [0, 0, 20, 20]]))
+    with pytest.raises(AssertionError):
+        merge_test_gts(base, bad, sizes)
