@@ -759,6 +759,12 @@ class CATRELoader:
         # didx -> row in the cache stacks (None rows are dropped)
         self._dev_row = {didx: row for row, didx in enumerate(keep)}
         self._cached_sampler = _make_cached_group_sampler(self.cfg, self._train_aug)
+        # the transfer tensors now live in HBM — drop the redundant RAM
+        # copies (~0.9 MB/frame) from the host cache entries
+        for entry in self._ram_cache.values():
+            if entry is not None:
+                entry.pop("depth_ship", None)
+                entry.pop("masks_packed", None)
 
     def _dispatch_group_cached(self, items: list):
         """Device-cache twin of _dispatch_group: items carry no host tensors;

@@ -342,9 +342,14 @@ def ranger21(learning_rate: float, weight_decay: float = 1e-4,
             neg = jnp.where(odd, cur_b, cur_a)      # the other buffer
             return ma_new, neg, new_a, new_b
 
+        import math
+
         quads = tmap(ma_update, state.grad_ma, state.neg_grad_ma, grad2)
         is_q = lambda x: isinstance(x, tuple)
-        noise_norm = float(np_sqrt((1.0 + b2) ** 2 + b2 ** 2))
+        # the reference computes the pnm noise norm from BETA2 (upstream
+        # Ranger21 uses beta1 here) — matched to the reference
+        # (`ranger21.py:591`)
+        noise_norm = math.sqrt((1.0 + b2) ** 2 + b2 ** 2)
 
         def step_leaf(p, quad, v):
             ma_new, neg, _, _ = quad
@@ -385,9 +390,3 @@ def ranger21(learning_rate: float, weight_decay: float = 1e-4,
         return upd, Ranger21State(t, new_a, new_b, variance_ma, new_slow)
 
     return optax.GradientTransformation(init_fn, update_fn)
-
-
-def np_sqrt(x: float) -> float:
-    import math
-
-    return math.sqrt(x)
