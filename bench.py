@@ -68,10 +68,15 @@ def _write_synthetic_frames(root: str, n_frames: int, n_objs: int = 8):
     return records
 
 
-def bench_pipeline(n_frames: int = 96, ims_per_batch: int = 32, n_iter: int = 4):
+def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4):
     """End-to-end pipeline rate from on-disk frames: host decode + device
     ball-crop + 4-iter fused refine + evaluator bookkeeping. Pass 1 compiles
-    and warms the loader; pass 2 is timed. Returns the JSON record."""
+    and warms the loader (and the decoded-tensor cache); pass 2 is timed.
+    Defaults are the measured best production path (docs/PERF.md "Round-3
+    pipeline rework"): HBM-cached decoded tensors, device-resident batches,
+    bbox-windowed ball-crop (exact for this bench's 60 px objects), ims=64.
+    Env overrides: BENCH_PIPE_{FRAMES,PCL,CACHE,DEVBATCH,WINDOW}.
+    Returns the JSON record."""
     import shutil
     import tempfile
 
@@ -89,8 +94,12 @@ def bench_pipeline(n_frames: int = 96, ims_per_batch: int = 32, n_iter: int = 4)
         n_objs = 8
         records = _write_synthetic_frames(root, n_frames, n_objs)
         num_pcl = int(os.environ.get("BENCH_PIPE_PCL", 1024))
+        cache = os.environ.get("BENCH_PIPE_CACHE", "device")
+        dev_batches = bool(int(os.environ.get("BENCH_PIPE_DEVBATCH", "1")))
+        window = int(os.environ.get("BENCH_PIPE_WINDOW", "128"))
         lcfg = LoaderConfig(num_pcl=num_pcl, max_objs_per_image=n_objs,
-                            aug_depth=False)
+                            aug_depth=False, cache_decoded=cache,
+                            sample_window=window)
         # CPU smoke runs skip the Pallas kernels (interpret mode is slow)
         on_tpu = jax.devices()[0].platform != "cpu"
         mcfg = CATREConfig(num_pcl=num_pcl, dtype=jnp.bfloat16,
@@ -101,7 +110,8 @@ def bench_pipeline(n_frames: int = 96, ims_per_batch: int = 32, n_iter: int = 4)
 
         def one_pass(warmup):
             loader = CATRELoader(records, lcfg, phase="test",
-                                 ims_per_batch=ims_per_batch, num_workers=4)
+                                 ims_per_batch=ims_per_batch, num_workers=4,
+                                 device_batches=dev_batches)
             evaluator = CATREEvaluator(records, n_iters=n_iter, output_dir=None)
             t0 = time.perf_counter()
             # probes off: the pipeline line measures pure overlapped e2e;
@@ -131,6 +141,7 @@ def bench_pipeline(n_frames: int = 96, ims_per_batch: int = 32, n_iter: int = 4)
             "compute_s_per_img": round(stats["compute_s_per_img"], 5),
             "process_s_per_img": round(stats["process_s_per_img"], 5),
             "ims_per_batch": ims_per_batch,
+            "cache": cache, "device_batches": dev_batches, "window": window,
         }
         print(json.dumps({"pipeline_detail": detail}), file=sys.stderr)
         return {

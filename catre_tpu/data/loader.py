@@ -419,13 +419,14 @@ class CATRELoader:
         self.rank = rank
         self.world_size = world_size
         self.seed = int(seed)
-        # device_batches: leave the sampled clouds ON DEVICE (train,
-        # single-process): the consumer jits over them directly, skipping the
+        # device_batches: leave the sampled clouds ON DEVICE (single-process,
+        # train OR test): the consumer jits over them directly, skipping the
         # sampler-output fetch AND the batch re-upload (2 x ~12 MB per B=512
-        # batch through a 78 MB/s relay link). Incompatible with the
-        # per-point-index paths (nocs/rgb) and the multi-process global-batch
-        # assembly (host_local_array_to_global_array wants host numpy).
-        self.device_batches = bool(device_batches) and phase == "train"
+        # batch through a 78 MB/s relay link; at test, 2 x ~3 MB per
+        # 32-image group). Incompatible with the per-point-index paths
+        # (nocs/rgb) and the multi-process global-batch assembly
+        # (host_local_array_to_global_array wants host numpy).
+        self.device_batches = bool(device_batches)
         if self.device_batches and (cfg.with_nocs or cfg.pcl_with_color):
             raise ValueError("device_batches is incompatible with WITH_NOCS /"
                              " PCL_WITH_COLOR (they consume host pixel indices)")

@@ -488,17 +488,6 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
         # TEST.IMS_PER_BATCH > 1 batches several images per jit call (the
         # reference evaluates one image per step; 1 reproduces that)
         ims_per_batch = int(cfg.TEST.get("IMS_PER_BATCH", 1))
-        # multi-process: exact contiguous record split (InferenceSampler,
-        # `my_distributed_sampler.py:172-200`); world=1 slice is the whole set
-        local_dicts = dicts[comm.inference_slice(len(dicts))]
-        loader = CATRELoader(local_dicts, loader_cfg, phase="test",
-                             ims_per_batch=ims_per_batch)
-        if ctx is not None and ("refine", n_iter) in ctx:
-            refine = ctx[("refine", n_iter)]
-        else:
-            refine = make_refine_fn(model, mcfg, n_iter=n_iter)
-            if ctx is not None:
-                ctx[("refine", n_iter)] = refine
         # eval-time data parallelism: shard instance rows over the mesh when
         # the fixed row count divides evenly (VERDICT r1 weak #1). Multi-host:
         # each process evaluates its contiguous record shard on a LOCAL mesh
@@ -512,6 +501,24 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
                 rows, mesh.devices.size,
             )
             mesh = None
+        # multi-process: exact contiguous record split (InferenceSampler,
+        # `my_distributed_sampler.py:172-200`); world=1 slice is the whole set
+        local_dicts = dicts[comm.inference_slice(len(dicts))]
+        # single-device eval consumes the sampled clouds straight from the
+        # device (no sampler-output fetch + refine-input re-upload)
+        dev_batches = (mesh is None and comm.get_world_size() == 1
+                       and not loader_cfg.with_nocs
+                       and not loader_cfg.pcl_with_color)
+        loader = CATRELoader(local_dicts, loader_cfg, phase="test",
+                             ims_per_batch=ims_per_batch,
+                             num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
+                             device_batches=dev_batches)
+        if ctx is not None and ("refine", n_iter) in ctx:
+            refine = ctx[("refine", n_iter)]
+        else:
+            refine = make_refine_fn(model, mcfg, n_iter=n_iter)
+            if ctx is not None:
+                ctx[("refine", n_iter)] = refine
         stats = run_inference(
             refine, params, iter(loader), evaluator, n_iters=n_iter,
             kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),

@@ -212,6 +212,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     before batch_data) while the remaining batches keep the
     overlap (`overlap_fetch_s_per_img` reports the overlapped attribution).
     Set compute_probe_every=0 to disable probing (max throughput).
+    With a device_batches loader the batch's pcl is itself an un-synced
+    device computation (the loader's ball-crop), so the probe span covers
+    any still-queued sampler work for that batch plus the refine — the
+    honest "device busy per image" figure for the fully device-resident
+    path (there is no host->device batch transfer to include).
 
     With a mesh, instance rows are sharded across the devices (eval-time data
     parallelism the reference declares incorrect for its DDP evaluator,
@@ -231,11 +236,15 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         def put(arr):
             # host numpy straight to the sharded placement in ONE transfer —
             # jnp.asarray first would stage on device 0 and reshard (an extra
-            # hop per array per batch on the relay-latency-sensitive path)
+            # hop per array per batch on the relay-latency-sensitive path).
+            # Device-resident inputs (loader device_batches) reshard
+            # device-side without a host round trip.
+            if isinstance(arr, jax.Array):
+                return jax.device_put(arr, row_sharding)
             return jax.device_put(np.asarray(arr), row_sharding)
     else:
         def put(arr):
-            return jnp.asarray(arr)
+            return jnp.asarray(arr)  # no-op for device-resident inputs
 
     total_compute = 0.0
     total_process = 0.0

@@ -195,6 +195,32 @@ def test_device_batches_keeps_pcl_on_device(fake_real_root):  # noqa: F811
         np.testing.assert_array_equal(a["valid"], b["valid"])
 
 
+@pytest.mark.parametrize("cache,ims", [("", 2), ("device", 2), ("", 4)])
+def test_device_batches_test_phase(fake_real_root, cache, ims):  # noqa: F811
+    """Test-phase device_batches (cached and uncached, incl. the padded
+    trailing partial group at ims=4 > 2 records): pcl stays a jax array and
+    matches the host-path batch bit-for-bit."""
+    dicts = _test_dicts(fake_real_root)
+    mk = lambda dev: CATRELoader(
+        dicts, LoaderConfig(num_pcl=64, max_objs_per_image=2, aug_depth=False,
+                            cache_decoded=cache),
+        phase="test", ims_per_batch=ims, seed=5, device_batches=dev)
+    host = _batches(iter(mk(False)))
+    dev = _batches(iter(mk(True)))
+    assert len(host) == len(dev) == 1
+    for a, b in zip(host, dev):
+        assert isinstance(b["pcl"], jax.Array)
+        assert a["scene_im_ids"] == b["scene_im_ids"]
+        n_real = int(np.sum(a["valid"]))
+        assert n_real > 0
+        # padding rows (trailing partial group) carry valid=False; only the
+        # real rows must match
+        v = np.asarray(a["valid"])
+        np.testing.assert_allclose(np.asarray(b["pcl"])[v], a["pcl"][v], atol=0)
+        np.testing.assert_array_equal(a["valid"], b["valid"])
+        np.testing.assert_allclose(a["obj_pose_est"], b["obj_pose_est"], atol=0)
+
+
 def test_repeat_factor_sampler(fake_real_root):  # noqa: F811
     """RepeatFactorTrainingSampler (`my_distributed_sampler.py:172-200`):
     rare-category images recur ~sqrt(t/f) x more often; skip() determinism
