@@ -9,6 +9,7 @@ dataset dicts, per-iteration mAP tables) and
 
 from __future__ import annotations
 
+import collections
 import logging
 import os
 import os.path as osp
@@ -196,7 +197,7 @@ class CATREEvaluator:
 def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                   n_iters: int, warmup: int = 1, kps_type: str = "mean_shape",
                   num_kps: int = 1024, mesh=None,
-                  compute_probe_every: int = 8) -> dict:
+                  compute_probe_every: int = 8, prefetch: int = 2) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
@@ -246,6 +247,27 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         def put(arr):
             return jnp.asarray(arr)  # no-op for device-resident inputs
 
+    # mean_shape kps are a pure per-category table lookup: upload the
+    # (C, K, 3) table ONCE and gather by class on device — the per-batch
+    # transfer drops from (B, K, 3) f32 (6.3 MB at B=512, ~80 ms through
+    # the 78 MB/s relay) to the (B,) int32 class vector. Other kps types
+    # keep the host select_kps path (they depend on per-batch scale_est).
+    mean_table = None
+    if kps_type.lower() == "mean_shape":
+        try:
+            from ..data.assets import mean_shape_array
+
+            table = mean_shape_array()
+            if table.shape[1] == num_kps:
+                if mesh is not None:
+                    from ..parallel import replicate_tree
+
+                    mean_table = replicate_tree(mesh, jnp.asarray(table))
+                else:
+                    mean_table = jnp.asarray(table)
+        except FileNotFoundError:
+            pass  # no asset pickles: fall back to the per-batch host path
+
     total_compute = 0.0
     total_process = 0.0
     n_images = 0
@@ -255,13 +277,17 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
 
     def finish(entry):
         """Fetch one in-flight refine result and run the host bookkeeping.
-        Deferred by one batch: jax dispatch is async, so batch k's refinement
-        computes on device while the loader decodes batch k+1 (which itself
-        double-buffers its sampler) — the fetch here lands after the overlap."""
+        Deferred by up to `prefetch` batches: jax dispatch is async, so batch
+        k's refinement computes on device while the loader prepares batches
+        k+1..k+prefetch (each itself double-buffering its sampler) — the
+        fetch here lands after the overlap, and the extra depth keeps the
+        device queue fed across the fetch's relay round trip."""
         nonlocal total_compute, total_process, n_images
         i, batch, poses, scales, t0 = entry
-        poses = np.asarray(poses)  # sync (block_until_ready unreliable on axon)
-        scales = np.asarray(scales)
+        # ONE device->host round trip for both outputs (two np.asarray calls
+        # would pay the relay latency twice); the fetch is also the sync
+        # (block_until_ready unreliable on axon)
+        poses, scales = jax.device_get((poses, scales))
         if i >= warmup:
             total_compute += time.perf_counter() - t0
             # count real images, not batches (TEST.IMS_PER_BATCH may be > 1;
@@ -288,22 +314,27 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         if i >= warmup:
             total_process += time.perf_counter() - t1
 
-    pending = None
+    pending = collections.deque()
     for i, batch in enumerate(loader):
         if batch.get("empty"):
             continue
         probe = (compute_probe_every > 0 and i >= warmup
                  and (i - warmup) % compute_probe_every == 0)
-        if probe and pending is not None:
-            finish(pending)  # drain the pipeline so the probe times ONLY
-            pending = None   # this batch's device work
+        if probe:
+            while pending:  # drain the pipeline so the probe times ONLY
+                finish(pending.popleft())  # this batch's device work
         t0 = time.perf_counter()
-        # host numpy in, host numpy out (for mean_shape): put() then ships
-        # every input in a single host->sharded-placement transfer
-        obj_kps = select_kps(
-            kps_type, mean_points=batch["obj_mean_points"],
-            scale_est=batch["obj_scale_est"], num_kps=num_kps,
-        )
+        if mean_table is not None:
+            # device-side gather from the resident category table: ships a
+            # (B,) int32 vector instead of (B, K, 3) f32 points
+            obj_kps = mean_table[put(np.asarray(batch["obj_cls"], np.int32))]
+        else:
+            # host numpy in, host numpy out (for mean_shape): put() then
+            # ships every input in a single host->placement transfer
+            obj_kps = select_kps(
+                kps_type, mean_points=batch["obj_mean_points"],
+                scale_est=batch["obj_scale_est"], num_kps=num_kps,
+            )
         poses, scales = refine_fn(
             params, put(batch["pcl"]), put(obj_kps),
             put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
@@ -315,12 +346,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             float(np.asarray(poses)[-1, 0, 0, 0])
             probe_s += time.perf_counter() - t0
             probe_images += sum(1 for s in batch["scene_im_ids"] if s is not None)
-        entry = (i, batch, poses, scales, t0)
-        if pending is not None:
-            finish(pending)
-        pending = entry
-    if pending is not None:
-        finish(pending)
+        pending.append((i, batch, poses, scales, t0))
+        if len(pending) > prefetch:
+            finish(pending.popleft())
+    while pending:
+        finish(pending.popleft())
 
     wall = time.perf_counter() - start
     stats = {
