@@ -97,6 +97,8 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
         cache = os.environ.get("BENCH_PIPE_CACHE", "device")
         dev_batches = bool(int(os.environ.get("BENCH_PIPE_DEVBATCH", "1")))
         window = int(os.environ.get("BENCH_PIPE_WINDOW", "128"))
+        prefetch = int(os.environ.get("BENCH_PIPE_PREFETCH", "2"))
+        packed = bool(int(os.environ.get("BENCH_PIPE_PACKED", "1")))
         lcfg = LoaderConfig(num_pcl=num_pcl, max_objs_per_image=n_objs,
                             aug_depth=False, cache_decoded=cache,
                             sample_window=window)
@@ -119,7 +121,8 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
             # default probing (eval/evaluator.py run_inference docstring)
             stats = run_inference(refine, params, iter(loader), evaluator,
                                   n_iters=n_iter, warmup=warmup,
-                                  compute_probe_every=0)
+                                  compute_probe_every=0, prefetch=prefetch,
+                                  packed_inputs=packed)
             return stats, time.perf_counter() - t0
 
         one_pass(warmup=1)  # compile + warm

@@ -15,6 +15,7 @@ import os
 import os.path as osp
 import pickle
 import time
+import weakref
 
 import numpy as np
 
@@ -23,6 +24,13 @@ from ..geom.transforms import pose_3x4_to_4x4_np
 from .nocs_eval import SYNSET_NAMES, compute_independent_mAP
 
 logger = logging.getLogger(__name__)
+
+# refine_fn -> jitted packed-input wrapper (kps gather + refine in one
+# program).  Module-level so repeated run_inference calls over the same
+# refine_fn (warm pass / timed pass, periodic eval during training) reuse
+# the compiled executable instead of re-tracing + re-deserializing from the
+# compile cache each call (~15 s per pass through the axon relay).
+_PACKED_REFINE_CACHE = weakref.WeakKeyDictionary()
 
 
 class CATREEvaluator:
@@ -197,7 +205,8 @@ class CATREEvaluator:
 def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                   n_iters: int, warmup: int = 1, kps_type: str = "mean_shape",
                   num_kps: int = 1024, mesh=None,
-                  compute_probe_every: int = 8, prefetch: int = 2) -> dict:
+                  compute_probe_every: int = 8, prefetch: int = 2,
+                  packed_inputs: bool = True) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
@@ -268,6 +277,41 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         except FileNotFoundError:
             pass  # no asset pickles: fall back to the per-batch host path
 
+    if mean_table is not None:
+        # One fused program: kps gather + refine, fed by ONE packed (B, 28)
+        # f32 upload (pose 12 + scale 3 + K 9 + mean_scales 3 + cls 1 —
+        # category ids are small ints, exact in f32). Replaces four small
+        # per-batch device_puts and an eager gather dispatch with a single
+        # transfer + a single dispatch — each op costs a relay round trip
+        # (~30 ms dispatch floor) regardless of size, so op count dominates
+        # bandwidth for these tiny arrays (docs/PERF.md "Round-3 pipeline
+        # rework").
+        _packed_refine = _PACKED_REFINE_CACHE.get(refine_fn)
+        if _packed_refine is None:
+
+            @jax.jit
+            def _packed_refine(params, pcl, table, packed):
+                b = packed.shape[0]
+                pose_est = packed[:, :12].reshape(b, 3, 4)
+                scale_est = packed[:, 12:15]
+                cam_k = packed[:, 15:24].reshape(b, 3, 3)
+                mean_scales = packed[:, 24:27]
+                obj_kps = table[packed[:, 27].astype(jnp.int32)]
+                return refine_fn(params, pcl, obj_kps, pose_est, scale_est,
+                                 cam_k, mean_scales)
+
+            _PACKED_REFINE_CACHE[refine_fn] = _packed_refine
+
+        def _pack_host(batch):
+            b = len(batch["obj_cls"])
+            return np.concatenate([
+                np.asarray(batch["obj_pose_est"], np.float32).reshape(b, 12),
+                np.asarray(batch["obj_scale_est"], np.float32),
+                np.asarray(batch["K"], np.float32).reshape(b, 9),
+                np.asarray(batch["obj_mean_scales"], np.float32),
+                np.asarray(batch["obj_cls"], np.float32)[:, None],
+            ], axis=1)
+
     total_compute = 0.0
     total_process = 0.0
     n_images = 0
@@ -324,10 +368,18 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             while pending:  # drain the pipeline so the probe times ONLY
                 finish(pending.popleft())  # this batch's device work
         t0 = time.perf_counter()
-        if mean_table is not None:
-            # device-side gather from the resident category table: ships a
+        if mean_table is not None and packed_inputs:
+            poses, scales = _packed_refine(
+                params, put(batch["pcl"]), mean_table, put(_pack_host(batch)))
+        elif mean_table is not None:
+            # eager device-side gather from the resident table: ships a
             # (B,) int32 vector instead of (B, K, 3) f32 points
             obj_kps = mean_table[put(np.asarray(batch["obj_cls"], np.int32))]
+            poses, scales = refine_fn(
+                params, put(batch["pcl"]), put(obj_kps),
+                put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
+                put(batch["K"]), put(batch["obj_mean_scales"]),
+            )
         else:
             # host numpy in, host numpy out (for mean_shape): put() then
             # ships every input in a single host->placement transfer
@@ -335,11 +387,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                 kps_type, mean_points=batch["obj_mean_points"],
                 scale_est=batch["obj_scale_est"], num_kps=num_kps,
             )
-        poses, scales = refine_fn(
-            params, put(batch["pcl"]), put(obj_kps),
-            put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
-            put(batch["K"]), put(batch["obj_mean_scales"]),
-        )
+            poses, scales = refine_fn(
+                params, put(batch["pcl"]), put(obj_kps),
+                put(batch["obj_pose_est"]), put(batch["obj_scale_est"]),
+                put(batch["K"]), put(batch["obj_mean_scales"]),
+            )
         if probe:
             # force completion (block_until_ready is unreliable through the
             # axon relay — fetch a scalar)

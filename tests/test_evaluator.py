@@ -88,6 +88,36 @@ def test_batched_test_images_match_per_image(fake_real_root):  # noqa: F811
     )
 
 
+def test_packed_inputs_match_unpacked(fake_real_root):  # noqa: F811
+    """The packed single-upload path (pose/scale/K/mean_scales/cls in one
+    (B, 28) f32 array, kps gathered inside the jitted program) must produce
+    bit-identical predictions to the multi-put path it replaces."""
+    dicts = _dicts_with_init(fake_real_root, noise=0.05)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=2)
+
+    preds = {}
+    for packed in (False, True):
+        loader = CATRELoader(
+            dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4, aug_depth=False),
+            phase="test", ims_per_batch=2, seed=0,
+        )
+        evaluator = CATREEvaluator(dicts, n_iters=2)
+        run_inference(refine, params, iter(loader), evaluator, n_iters=2,
+                      warmup=0, packed_inputs=packed)
+        preds[packed] = evaluator._preds
+    assert len(preds[True]) == len(preds[False]) == 3  # iters 0..2
+    for it in range(3):
+        assert sorted(preds[True][it]) == sorted(preds[False][it])
+        assert preds[True][it], "no predictions recorded"
+        for key in preds[True][it]:
+            pt, pf = preds[True][it][key], preds[False][it][key]
+            np.testing.assert_array_equal(pt["pred_RTs"], pf["pred_RTs"])
+            np.testing.assert_array_equal(pt["pred_scales"], pf["pred_scales"])
+
+
 def test_noisy_init_scores_degrade(fake_real_root):  # noqa: F811
     """iter0 with 10cm translation noise must not be perfect at te2."""
     dicts = _dicts_with_init(fake_real_root, noise=0.10)
