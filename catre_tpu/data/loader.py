@@ -367,6 +367,10 @@ def _make_group_sampler(cfg: LoaderConfig, train_aug: bool):
 
     @jax.jit
     def sample(keys, depths, Ks, packed, poses, scales):
+        # NOTE: do NOT fold the (G, M, P, 3) -> (G*M, P, 3) flatten into this
+        # program — measured 1393 -> 935 obj/s pipeline e2e (the reshape
+        # breaks the sampler's output fusion / layout; the eager reshape in
+        # _flatten fully overlaps with device work and is free in practice).
         return jax.vmap(one)(keys, depths, Ks, packed, poses, scales)
 
     _SAMPLER_CACHE[ck] = sample
@@ -389,6 +393,7 @@ def _make_cached_group_sampler(cfg: LoaderConfig, train_aug: bool):
             return one(key, depth_all[i], K_all[i], packed_all[i],
                        pose_all[i], scale_all[i])
 
+        # no in-program flatten — see the note in _make_group_sampler
         return jax.vmap(one_i)(keys, idx)
 
     _SAMPLER_CACHE[ck] = sample
@@ -798,7 +803,11 @@ class CATRELoader:
 
     def _cached_groups(self, records):
         """Double-buffered group stream over the device cache. The host part
-        per record is a RAM-cache dict copy — no decode, no big transfer."""
+        per record is a RAM-cache dict copy — no decode, no big transfer.
+        A trailing partial group is dispatched padded (the sampler repeats
+        row 0; __iter__ marks the pad images valid=False) so every record is
+        accounted for — REAL275's 2754 test images are not divisible by the
+        production group sizes."""
         pending, handle = [], None
         for g, didx, rec in records:
             data = self._host_part(g, didx, rec)  # RAM-cache hit (tiny)
@@ -811,8 +820,11 @@ class CATRELoader:
                 if handle is not None:
                     yield self._finalize_group_cached(handle)
                 handle = new_handle
+        tail = self._dispatch_group_cached(pending) if pending else None
         if handle is not None:
             yield self._finalize_group_cached(handle)
+        if tail is not None:
+            yield self._finalize_group_cached(tail)
 
     # ------------------------------------------------------- host post
     def _post_device(self, g: int, record: dict, data: dict) -> dict:

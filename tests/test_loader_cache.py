@@ -195,7 +195,8 @@ def test_device_batches_keeps_pcl_on_device(fake_real_root):  # noqa: F811
         np.testing.assert_array_equal(a["valid"], b["valid"])
 
 
-@pytest.mark.parametrize("cache,ims", [("", 2), ("device", 2), ("", 4)])
+@pytest.mark.parametrize("cache,ims", [("", 2), ("device", 2), ("", 4),
+                                       ("device", 4)])
 def test_device_batches_test_phase(fake_real_root, cache, ims):  # noqa: F811
     """Test-phase device_batches (cached and uncached, incl. the padded
     trailing partial group at ims=4 > 2 records): pcl stays a jax array and
