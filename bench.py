@@ -257,6 +257,21 @@ def main():
                 float(out[0][-1, 0, 0, 0])
             results["bf16"] = b / ((time.perf_counter() - t0) / 5)
 
+    print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()}}), file=sys.stderr)
+
+    # secondary diagnostic line: pipeline-level rate (disk -> host decode ->
+    # device ball-crop -> refine -> evaluator), VERDICT r1 item 3 / BASELINE
+    # cfgs 2-4. Printed BEFORE the headline so the LAST line the driver
+    # parses is the BASELINE.json north-star metric (object refinements/sec/
+    # chip); on this host the pipeline figure is dominated by the axon
+    # relay's 30 ms dispatch floor + 78 MB/s link, not the framework (see
+    # docs/PERF.md "Round-3 pipeline rework").
+    if not os.environ.get("BENCH_SKIP_PIPELINE", ""):
+        try:
+            print(json.dumps(bench_pipeline()))
+        except Exception as e:
+            print(f"pipeline bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     value = max(results.get("bf16_fused", 0.0), results.get("bf16", 0.0))
     print(
         json.dumps(
@@ -268,15 +283,6 @@ def main():
             }
         )
     )
-    print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()}}), file=sys.stderr)
-
-    # second JSON line: pipeline-level rate (disk -> host decode -> device
-    # ball-crop -> refine -> evaluator), VERDICT r1 item 3 / BASELINE cfgs 2-4
-    if not os.environ.get("BENCH_SKIP_PIPELINE", ""):
-        try:
-            print(json.dumps(bench_pipeline()))
-        except Exception as e:
-            print(f"pipeline bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

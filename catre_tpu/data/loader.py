@@ -250,6 +250,11 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
     pose_est = poses.copy()
     scale_est = scales.copy()
     valid = np.zeros(m, dtype=bool)
+    # per-instance mask bounds for the windowed sampler (empty-instance
+    # sentinel matches the device-side reduction: min over h / max over -1)
+    mask_bbox = np.empty((m, 4), dtype=np.int32)
+    mask_bbox[:, 0], mask_bbox[:, 1] = h, -1
+    mask_bbox[:, 2], mask_bbox[:, 3] = w, -1
 
     for i, anno in enumerate(annos):
         classes[i] = anno["category_id"]
@@ -272,10 +277,17 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
         bb = anno.get("bbox_est", anno.get("bbox"))
         if bb is not None:
             bboxes[i] = bb
+        if cfg.sample_window > 0:
+            rows = masks[i].any(axis=1)
+            if rows.any():
+                cols = masks[i].any(axis=0)
+                rnz, cnz = np.flatnonzero(rows), np.flatnonzero(cols)
+                mask_bbox[i] = (rnz[0], rnz[-1], cnz[0], cnz[-1])
 
     return {
         "depth_ship": _quantize_depth(depth),
         "masks_packed": _pack_masks(masks),
+        "mask_bbox": mask_bbox,
         "fg_any": masks.any(axis=0) if (cfg.pcl_with_color and cfg.change_bg_prob > 0) else None,
         "K": np.asarray(record["cam"], dtype=np.float32),
         "obj_cls": classes,
@@ -314,14 +326,31 @@ def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
 def _make_one_image_fn(cfg: LoaderConfig, train_aug: bool):
     """Device pipeline for one image: u16 decode -> (train) depth aug ->
     backproject -> masked ball-crop. `packed` is the bit-packed (H, W) uint
-    mask word, or the unpacked (M, H, W) bool stack when M > 32."""
+    mask word, or the unpacked (M, H, W) bool stack when M > 32.
+
+    With a window and no depth aug (the windowed test path), the whole
+    per-image pipeline runs through `batch_ball_crop_from_depth`: each
+    instance slices its own depth/mask-word window using the host-computed
+    `mask_bbox`, so the full-frame cloud, the unpacked masks, and the
+    per-instance full-frame bbox reductions never materialize (bit-identical
+    outputs). Depth aug keeps the full-frame path — its drop/noise fields
+    are frame-aligned."""
     from .aug import aug_depth
     from ..geom.transforms import backproject
-    from ..ops.sampling import batch_ball_crop
+    from ..ops.sampling import batch_ball_crop, batch_ball_crop_from_depth
 
     M = cfg.max_objs_per_image
+    fused_window = (cfg.sample_window > 0 and not train_aug
+                    and not cfg.fps_sample)
 
-    def one(key, depth, K, packed, poses, scales):
+    def one(key, depth, K, packed, poses, scales, mask_bbox):
+        h, w = depth.shape
+        if fused_window and (cfg.sample_window < h or cfg.sample_window < w):
+            return batch_ball_crop_from_depth(
+                key, depth, K, packed, mask_bbox, poses, scales,
+                ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
+                window_size=cfg.sample_window,
+            )
         if depth.dtype == jnp.uint16:
             # depth ships as raw millimeters (half the bytes of f32);
             # f32(u16)/1000 is exactly rounded, bit-identical to the host's
@@ -366,12 +395,13 @@ def _make_group_sampler(cfg: LoaderConfig, train_aug: bool):
     one = _make_one_image_fn(cfg, train_aug)
 
     @jax.jit
-    def sample(keys, depths, Ks, packed, poses, scales):
+    def sample(keys, depths, Ks, packed, poses, scales, mask_bboxes):
         # NOTE: do NOT fold the (G, M, P, 3) -> (G*M, P, 3) flatten into this
         # program — measured 1393 -> 935 obj/s pipeline e2e (the reshape
         # breaks the sampler's output fusion / layout; the eager reshape in
         # _flatten fully overlaps with device work and is free in practice).
-        return jax.vmap(one)(keys, depths, Ks, packed, poses, scales)
+        return jax.vmap(one)(keys, depths, Ks, packed, poses, scales,
+                             mask_bboxes)
 
     _SAMPLER_CACHE[ck] = sample
     return sample
@@ -388,10 +418,11 @@ def _make_cached_group_sampler(cfg: LoaderConfig, train_aug: bool):
     one = _make_one_image_fn(cfg, train_aug)
 
     @jax.jit
-    def sample(depth_all, packed_all, K_all, pose_all, scale_all, keys, idx):
+    def sample(depth_all, packed_all, K_all, pose_all, scale_all, bbox_all,
+               keys, idx):
         def one_i(key, i):
             return one(key, depth_all[i], K_all[i], packed_all[i],
-                       pose_all[i], scale_all[i])
+                       pose_all[i], scale_all[i], bbox_all[i])
 
         # no in-program flatten — see the note in _make_group_sampler
         return jax.vmap(one_i)(keys, idx)
@@ -642,6 +673,7 @@ class CATRELoader:
             keys, stack(depth_s), stack([d["K"] for d in datas]),
             stack([d["masks_packed"] for d in datas]),
             stack([p for p, _ in crop]), stack([s for _, s in crop]),
+            stack([d["mask_bbox"] for d in datas]),
         )
         return items, outs
 
@@ -757,6 +789,7 @@ class CATRELoader:
             "K": np.stack([d["K"] for d in kept]),
             "pose": np.stack([p for p, _ in crop]),
             "scale": np.stack([s for _, s in crop]),
+            "mask_bbox": np.stack([d["mask_bbox"] for d in kept]),
         }
         nbytes = sum(a.nbytes for a in dev.values())
         logger.info("device cache: %d records, %.2f GB resident", len(keep),
@@ -784,7 +817,7 @@ class CATRELoader:
             rows = np.concatenate([rows, np.repeat(rows[:1], pad - G)])
         d = self._dev
         outs = self._cached_sampler(d["depth"], d["packed"], d["K"], d["pose"],
-                                    d["scale"], keys, rows)
+                                    d["scale"], d["mask_bbox"], keys, rows)
         return items, outs
 
     def _finalize_group_cached(self, handle) -> list:

@@ -162,6 +162,75 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
     return jax.vmap(one)(keys, masks, poses, scales)
 
 
+def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
+                               packed: jnp.ndarray, mask_bbox: jnp.ndarray,
+                               poses: jnp.ndarray, scales: jnp.ndarray,
+                               ratio: float, num_points: int,
+                               window_size: int):
+    """Windowed ball-crop straight from the raw per-image tensors — the
+    full-frame intermediates of `batch_ball_crop` (unpacked (M, H, W) bool
+    masks, the (H, W, 3) backprojected cloud, and the per-instance
+    full-frame mask-bbox reductions) never materialize. Each instance
+    slices its own window of the u16/f32 depth map and the bit-packed mask
+    word, converts + backprojects the 16k-window pixels in place, and runs
+    the identical selection. Bit-identical to `batch_ball_crop(...,
+    window_size=ws)` fed `backproject(f32(depth)/1000, K)` and unpacked
+    masks (same f32 op order, same RNG stream) — pinned by
+    tests/test_sampling.py::test_ball_crop_from_depth_bit_identical.
+
+    Args:
+      depth: (H, W) uint16 millimeters (converted in-window) or f32 meters
+      K: (3, 3) intrinsics
+      packed: (H, W) bit-packed mask word (uint8/16/32, bit i = instance i)
+        or the unpacked (M, H, W) bool stack (M > 32 fallback)
+      mask_bbox: (M, 4) int32 per-instance mask bounds
+        (r_min, r_max, c_min, c_max), empty instances = (H, -1, W, -1) —
+        precomputed host-side (the mask bbox is a static property of the
+        record, so reducing it on device every epoch is wasted work)
+      poses: (M, 3, 4); scales: (M, 3)
+    Returns:
+      (pcls (M, num_points, 3), idx (M, num_points) flat H*W pixel indices,
+       n_inside (M,)) — same contract as `batch_ball_crop`.
+    """
+    h, w = depth.shape
+    m = poses.shape[0]
+    ws = int(window_size)
+    keys = jax.random.split(key, m)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    bit_packed = packed.ndim == 2
+    bits = jnp.arange(m, dtype=packed.dtype if bit_packed else jnp.uint8)
+
+    def one_inst(k, bit, bbox, pose, scale, mask_i=None):
+        r0 = jnp.clip((bbox[0] + bbox[1] + 1 - ws) // 2, 0, max(h - ws, 0))
+        c0 = jnp.clip((bbox[2] + bbox[3] + 1 - ws) // 2, 0, max(w - ws, 0))
+        dw = jax.lax.dynamic_slice(depth, (r0, c0), (ws, ws))
+        if dw.dtype == jnp.uint16:
+            # f32(u16)/1000 is exactly rounded — bit-identical to the host's
+            # load_depth value (see _make_one_image_fn)
+            dw = dw.astype(jnp.float32) / 1000.0
+        if bit_packed:
+            word_w = jax.lax.dynamic_slice(packed, (r0, c0), (ws, ws))
+            mask_w = (jnp.right_shift(word_w, bit) & 1).astype(bool)
+        else:
+            mask_w = jax.lax.dynamic_slice(mask_i, (r0, c0), (ws, ws))
+        # in-window backproject, same f32 op order as geom.transforms
+        # .backproject ((pix - c) exact in f32, then * depth / f)
+        vy = (r0 + jnp.arange(ws))[:, None].astype(dw.dtype) - cy
+        vx = (c0 + jnp.arange(ws))[None, :].astype(dw.dtype) - cx
+        pts = jnp.stack([vx * dw / fx, vy * dw / fy, dw], axis=-1)
+        pts = pts.reshape(-1, 3)
+        valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
+        sampled, idx_w, n_in = crop_ball_from_cloud(
+            k, pts, valid, pose, scale, ratio, num_points)
+        idx = (r0 + idx_w // ws) * w + (c0 + idx_w % ws)
+        return sampled, idx.astype(jnp.int32), n_in
+
+    if bit_packed:
+        return jax.vmap(one_inst)(keys, bits, mask_bbox, poses, scales)
+    return jax.vmap(one_inst)(keys, bits, mask_bbox, poses, scales, packed)
+
+
 def farthest_point_indices(pts: jnp.ndarray, num_points: int,
                            start_from_mean: bool = True,
                            valid: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -254,3 +254,33 @@ def test_repeat_factor_sampler(fake_real_root):  # noqa: F811
     l2.skip(50)
     tail = [didx for _, didx, _ in (next(l2._train_records()) for _ in range(30))]
     assert tail == ids[50:80]
+
+
+@pytest.mark.parametrize("cache", ["", "device"])
+def test_windowed_loader_matches_full_field(fake_real_root, cache):  # noqa: F811
+    """sample_window through the loader (the fused from-depth path, incl.
+    the host-precomputed mask_bbox threading and the device-cache stacks):
+    with num_pcl > the instance's candidate count, the sampled point SET
+    equals the window=0 full-field loader's (every mask∧depth>0 pixel is
+    selected in both, selection order differs only by RNG stream)."""
+    dicts = _test_dicts(fake_real_root)
+    mk = lambda window: CATRELoader(
+        dicts, LoaderConfig(num_pcl=4096, max_objs_per_image=2,
+                            aug_depth=False, sample_window=window,
+                            cache_decoded=cache),
+        phase="test", ims_per_batch=1, seed=5)
+    full = _batches(mk(0))
+    win = _batches(mk(64))
+    assert len(full) == len(win) == 2
+    checked = 0
+    for a, b in zip(full, win):
+        assert a["scene_im_ids"] == b["scene_im_ids"]
+        np.testing.assert_array_equal(a["valid"], b["valid"])
+        pa, pb = np.asarray(a["pcl"]), np.asarray(b["pcl"])
+        for ia in np.flatnonzero(np.asarray(a["valid"])):
+            ua = np.unique(pa[ia], axis=0)
+            ub = np.unique(pb[ia], axis=0)
+            assert ua.shape == ub.shape and ua.shape[0] > 100
+            np.testing.assert_array_equal(ua, ub)
+            checked += 1
+    assert checked == 2

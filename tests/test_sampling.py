@@ -161,3 +161,64 @@ def test_windowed_ball_crop_equivalence():
     assert mask[0, rr, cc].all()
     # sampled coordinates match the cloud at those pixels
     np.testing.assert_allclose(np.asarray(out_win[0][0]), cloud[rr, cc], atol=0)
+
+
+def test_ball_crop_from_depth_bit_identical():
+    """The fused from-depth windowed path (u16 depth + packed word +
+    host-precomputed mask bboxes) is bit-identical to batch_ball_crop over
+    the materialized cloud/masks with the same key — including an empty
+    instance slot and a mask whose bbox clamps at the image border."""
+    from catre_tpu.ops.sampling import batch_ball_crop_from_depth
+
+    h, w, m, ws, npts = 96, 128, 3, 48, 256
+    rng = np.random.default_rng(3)
+    depth_u16 = np.zeros((h, w), np.uint16)
+    masks = np.zeros((m, h, w), bool)
+    # instance 0: interior blob; instance 1: hugs the top-left border
+    # (window origin clamps); instance 2: left empty
+    regions = [(40, 64, 60, 90), (0, 20, 0, 25)]
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (m, 1, 1))
+    K = np.array([[600.0, 0, 64.0], [0, 600.0, 48.0], [0, 0, 1]], np.float32)
+    for i, (r0, r1, c0, c1) in enumerate(regions):
+        depth_u16[r0:r1, c0:c1] = rng.integers(800, 1200, (r1 - r0, c1 - c0))
+        masks[i, r0:r1, c0:c1] = rng.random((r1 - r0, c1 - c0)) < 0.8
+        rc, cc = (r0 + r1) // 2, (c0 + c1) // 2
+        z = depth_u16[rc, cc] / 1000.0
+        poses[i, :, 3] = [(cc - K[0, 2]) / K[0, 0] * z,
+                          (rc - K[1, 2]) / K[1, 1] * z, max(z, 0.9)]
+    scales = np.full((m, 3), 0.25, np.float32)
+
+    # reference path: full-frame cloud + unpacked masks
+    cloud = backproject(jnp.asarray(depth_u16.astype(np.float32) / 1000.0),
+                        jnp.asarray(K))
+    ref = batch_ball_crop(jax.random.PRNGKey(7), cloud, jnp.asarray(masks),
+                          jnp.asarray(poses), jnp.asarray(scales),
+                          ratio=1.0, num_points=npts, window_size=ws)
+
+    packed = np.zeros((h, w), np.uint8)
+    for i in range(m):
+        packed |= masks[i].astype(np.uint8) << i
+    mask_bbox = np.empty((m, 4), np.int32)
+    mask_bbox[:, 0], mask_bbox[:, 1] = h, -1
+    mask_bbox[:, 2], mask_bbox[:, 3] = w, -1
+    for i in range(m):
+        rows, cols = masks[i].any(axis=1), masks[i].any(axis=0)
+        if rows.any():
+            rnz, cnz = np.flatnonzero(rows), np.flatnonzero(cols)
+            mask_bbox[i] = (rnz[0], rnz[-1], cnz[0], cnz[-1])
+
+    for packed_arg in (jnp.asarray(packed), jnp.asarray(masks)):
+        fused = batch_ball_crop_from_depth(
+            jax.random.PRNGKey(7), jnp.asarray(depth_u16), jnp.asarray(K),
+            packed_arg, jnp.asarray(mask_bbox), jnp.asarray(poses),
+            jnp.asarray(scales), ratio=1.0, num_points=npts, window_size=ws)
+        for a, b in zip(ref, fused):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # f32-meter depth input is accepted too
+    fused32 = batch_ball_crop_from_depth(
+        jax.random.PRNGKey(7), jnp.asarray(depth_u16.astype(np.float32) / 1000.0),
+        jnp.asarray(K), jnp.asarray(packed), jnp.asarray(mask_bbox),
+        jnp.asarray(poses), jnp.asarray(scales),
+        ratio=1.0, num_points=npts, window_size=ws)
+    for a, b in zip(ref, fused32):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
