@@ -25,6 +25,7 @@ state is lost on restart).
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -316,7 +317,8 @@ _SAMPLER_CACHE: dict = {}
 
 def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
     key = (kind, cfg.depth_sample_ball_ratio, cfg.num_pcl, cfg.fps_sample,
-           cfg.max_objs_per_image, train_aug, cfg.sample_window)
+           cfg.max_objs_per_image, train_aug, cfg.sample_window,
+           bool(os.environ.get("CATRE_DISABLE_FUSED_WINDOW")))
     if train_aug:
         key += (cfg.drop_depth_prob, cfg.drop_depth_ratio,
                 cfg.add_noise_depth_prob, cfg.add_noise_depth_level)
@@ -340,8 +342,11 @@ def _make_one_image_fn(cfg: LoaderConfig, train_aug: bool):
     from ..ops.sampling import batch_ball_crop, batch_ball_crop_from_depth
 
     M = cfg.max_objs_per_image
+    # CATRE_DISABLE_FUSED_WINDOW=1 forces the materialized-cloud windowed
+    # path (bit-identical output) — kept for perf A/Bs of the fused path
     fused_window = (cfg.sample_window > 0 and not train_aug
-                    and not cfg.fps_sample)
+                    and not cfg.fps_sample
+                    and not os.environ.get("CATRE_DISABLE_FUSED_WINDOW"))
 
     def one(key, depth, K, packed, poses, scales, mask_bbox):
         h, w = depth.shape

@@ -113,7 +113,9 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
     keys = jax.random.split(key, n_inst)
 
     if window_size and not fps_sample and (window_size < h or window_size < w):
-        ws = int(window_size)
+        # per-dim clamp: a window between the two image dims slices the full
+        # extent of the smaller dim instead of overrunning it
+        wsh, wsw = min(int(window_size), h), min(int(window_size), w)
 
         def one_windowed(k, mask, pose, scale):
             # mask bbox center -> clamped window origin (device-side: the
@@ -126,16 +128,16 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
             r_max = jnp.max(jnp.where(rows, ridx, -1))
             c_min = jnp.min(jnp.where(cols, cidx, w))
             c_max = jnp.max(jnp.where(cols, cidx, -1))
-            r0 = jnp.clip((r_min + r_max + 1 - ws) // 2, 0, max(h - ws, 0))
-            c0 = jnp.clip((c_min + c_max + 1 - ws) // 2, 0, max(w - ws, 0))
-            cloud_w = jax.lax.dynamic_slice(cloud, (r0, c0, 0), (ws, ws, 3))
-            mask_w = jax.lax.dynamic_slice(mask, (r0, c0), (ws, ws))
+            r0 = jnp.clip((r_min + r_max + 1 - wsh) // 2, 0, h - wsh)
+            c0 = jnp.clip((c_min + c_max + 1 - wsw) // 2, 0, w - wsw)
+            cloud_w = jax.lax.dynamic_slice(cloud, (r0, c0, 0), (wsh, wsw, 3))
+            mask_w = jax.lax.dynamic_slice(mask, (r0, c0), (wsh, wsw))
             pts = cloud_w.reshape(-1, 3)
             valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
             sampled, idx_w, n_in = crop_ball_from_cloud(
                 k, pts, valid, pose, scale, ratio, num_points)
             # window index -> flat image pixel index (nocs/rgb alignment)
-            idx = (r0 + idx_w // ws) * w + (c0 + idx_w % ws)
+            idx = (r0 + idx_w // wsw) * w + (c0 + idx_w % wsw)
             return sampled, idx.astype(jnp.int32), n_in
 
         return jax.vmap(one_windowed)(keys, masks, poses, scales)
@@ -194,7 +196,8 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
     """
     h, w = depth.shape
     m = poses.shape[0]
-    ws = int(window_size)
+    # per-dim clamp matches batch_ball_crop's windowed path
+    wsh, wsw = min(int(window_size), h), min(int(window_size), w)
     keys = jax.random.split(key, m)
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -202,28 +205,28 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
     bits = jnp.arange(m, dtype=packed.dtype if bit_packed else jnp.uint8)
 
     def one_inst(k, bit, bbox, pose, scale, mask_i=None):
-        r0 = jnp.clip((bbox[0] + bbox[1] + 1 - ws) // 2, 0, max(h - ws, 0))
-        c0 = jnp.clip((bbox[2] + bbox[3] + 1 - ws) // 2, 0, max(w - ws, 0))
-        dw = jax.lax.dynamic_slice(depth, (r0, c0), (ws, ws))
+        r0 = jnp.clip((bbox[0] + bbox[1] + 1 - wsh) // 2, 0, h - wsh)
+        c0 = jnp.clip((bbox[2] + bbox[3] + 1 - wsw) // 2, 0, w - wsw)
+        dw = jax.lax.dynamic_slice(depth, (r0, c0), (wsh, wsw))
         if dw.dtype == jnp.uint16:
             # f32(u16)/1000 is exactly rounded — bit-identical to the host's
             # load_depth value (see _make_one_image_fn)
             dw = dw.astype(jnp.float32) / 1000.0
         if bit_packed:
-            word_w = jax.lax.dynamic_slice(packed, (r0, c0), (ws, ws))
+            word_w = jax.lax.dynamic_slice(packed, (r0, c0), (wsh, wsw))
             mask_w = (jnp.right_shift(word_w, bit) & 1).astype(bool)
         else:
-            mask_w = jax.lax.dynamic_slice(mask_i, (r0, c0), (ws, ws))
+            mask_w = jax.lax.dynamic_slice(mask_i, (r0, c0), (wsh, wsw))
         # in-window backproject, same f32 op order as geom.transforms
         # .backproject ((pix - c) exact in f32, then * depth / f)
-        vy = (r0 + jnp.arange(ws))[:, None].astype(dw.dtype) - cy
-        vx = (c0 + jnp.arange(ws))[None, :].astype(dw.dtype) - cx
+        vy = (r0 + jnp.arange(wsh))[:, None].astype(dw.dtype) - cy
+        vx = (c0 + jnp.arange(wsw))[None, :].astype(dw.dtype) - cx
         pts = jnp.stack([vx * dw / fx, vy * dw / fy, dw], axis=-1)
         pts = pts.reshape(-1, 3)
         valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
         sampled, idx_w, n_in = crop_ball_from_cloud(
             k, pts, valid, pose, scale, ratio, num_points)
-        idx = (r0 + idx_w // ws) * w + (c0 + idx_w % ws)
+        idx = (r0 + idx_w // wsw) * w + (c0 + idx_w % wsw)
         return sampled, idx.astype(jnp.int32), n_in
 
     if bit_packed:

@@ -222,3 +222,41 @@ def test_ball_crop_from_depth_bit_identical():
         ratio=1.0, num_points=npts, window_size=ws)
     for a, b in zip(ref, fused32):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_window_between_image_dims():
+    """window_size between the two image dims (h < ws < w): both windowed
+    paths clamp the slice per-dimension instead of overrunning the smaller
+    dim, and still agree with each other and the full-field candidate set."""
+    from catre_tpu.ops.sampling import batch_ball_crop_from_depth
+
+    h, w, npts = 40, 100, 1024
+    depth_u16 = np.zeros((h, w), np.uint16)
+    depth_u16[8:36, 30:70] = 1000
+    masks = np.zeros((1, h, w), bool)
+    masks[0, 10:34, 35:65] = True
+    K = np.array([[500.0, 0, 50.0], [0, 500.0, 20.0], [0, 0, 1]], np.float32)
+    pose = np.tile(np.eye(3, 4, dtype=np.float32), (1, 1, 1))
+    pose[0, :, 3] = [0.0, 0.0, 1.0]
+    scale = np.full((1, 3), 0.3, np.float32)
+
+    cloud = backproject(jnp.asarray(depth_u16.astype(np.float32) / 1000.0),
+                        jnp.asarray(K))
+    full = batch_ball_crop(jax.random.PRNGKey(3), cloud, jnp.asarray(masks),
+                           jnp.asarray(pose), jnp.asarray(scale),
+                           ratio=3.0, num_points=npts)
+    win = batch_ball_crop(jax.random.PRNGKey(3), cloud, jnp.asarray(masks),
+                          jnp.asarray(pose), jnp.asarray(scale),
+                          ratio=3.0, num_points=npts, window_size=64)
+    mask_bbox = np.array([[10, 33, 35, 64]], np.int32)
+    fused = batch_ball_crop_from_depth(
+        jax.random.PRNGKey(3), jnp.asarray(depth_u16), jnp.asarray(K),
+        jnp.asarray(masks), jnp.asarray(mask_bbox), jnp.asarray(pose),
+        jnp.asarray(scale), ratio=3.0, num_points=npts, window_size=64)
+    # fused == windowed bit-exactly; both match the full-field candidate set
+    for a, b in zip(win, fused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    n = int(full[2][0])
+    assert n == int(win[2][0]) == 24 * 30
+    assert (set(np.asarray(full[1][0]).tolist())
+            == set(np.asarray(win[1][0]).tolist()))
