@@ -259,30 +259,33 @@ def main():
 
     print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()}}), file=sys.stderr)
 
+    value = max(results.get("bf16_fused", 0.0), results.get("bf16", 0.0))
+    headline = json.dumps(
+        {
+            "metric": "object refinements/sec/chip (1024 pts, 4 iters)",
+            "value": round(value, 1),
+            "unit": "obj/s/chip",
+            "vs_baseline": round(value / BASELINE_OBJ_PER_SEC_PER_CHIP, 3),
+        }
+    )
+    # emit the headline immediately (a hard kill during the multi-minute
+    # pipeline bench must not lose the refine metric) ...
+    print(headline, flush=True)
+
     # secondary diagnostic line: pipeline-level rate (disk -> host decode ->
     # device ball-crop -> refine -> evaluator), VERDICT r1 item 3 / BASELINE
-    # cfgs 2-4. Printed BEFORE the headline so the LAST line the driver
-    # parses is the BASELINE.json north-star metric (object refinements/sec/
-    # chip); on this host the pipeline figure is dominated by the axon
-    # relay's 30 ms dispatch floor + 78 MB/s link, not the framework (see
-    # docs/PERF.md "Round-3 pipeline rework").
+    # cfgs 2-4; on this host it is dominated by the axon relay's 30 ms
+    # dispatch floor + 78 MB/s link, not the framework (docs/PERF.md
+    # "Round-3 pipeline rework")
     if not os.environ.get("BENCH_SKIP_PIPELINE", ""):
         try:
-            print(json.dumps(bench_pipeline()))
+            print(json.dumps(bench_pipeline()), flush=True)
         except Exception as e:
             print(f"pipeline bench failed: {type(e).__name__}: {e}", file=sys.stderr)
-
-    value = max(results.get("bf16_fused", 0.0), results.get("bf16", 0.0))
-    print(
-        json.dumps(
-            {
-                "metric": "object refinements/sec/chip (1024 pts, 4 iters)",
-                "value": round(value, 1),
-                "unit": "obj/s/chip",
-                "vs_baseline": round(value / BASELINE_OBJ_PER_SEC_PER_CHIP, 3),
-            }
-        )
-    )
+        # ... and re-emit it as the FINAL line: the driver parses the last
+        # stdout line, and the headline metric is BASELINE.json's north star
+        # (object refinements/sec/chip)
+        print(headline)
 
 
 if __name__ == "__main__":

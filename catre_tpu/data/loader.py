@@ -223,6 +223,17 @@ def _quantize_depth(depth: np.ndarray) -> np.ndarray:
     return depth
 
 
+def _wants_mask_bbox(cfg: LoaderConfig, phase: str) -> bool:
+    """True when the sampler's fused windowed path will actually read the
+    host-precomputed mask bounds (matches `fused_window` in
+    `_make_one_image_fn`); otherwise the per-instance full-frame reductions
+    are skipped and the sentinel rows ship as-is (the non-fused windowed
+    path re-derives the bbox on device)."""
+    return (cfg.sample_window > 0 and not cfg.fps_sample
+            and not (cfg.aug_depth and phase == "train")
+            and not os.environ.get("CATRE_DISABLE_FUSED_WINDOW"))
+
+
 def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
                          rng: np.random.Generator, mean_points: np.ndarray,
                          mean_scales: np.ndarray) -> dict | None:
@@ -278,7 +289,7 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
         bb = anno.get("bbox_est", anno.get("bbox"))
         if bb is not None:
             bboxes[i] = bb
-        if cfg.sample_window > 0:
+        if _wants_mask_bbox(cfg, phase):
             rows = masks[i].any(axis=1)
             if rows.any():
                 cols = masks[i].any(axis=0)

@@ -83,6 +83,21 @@ def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points:
     return pts[idx], idx, n_inside
 
 
+def _window_origin(r_min, r_max, c_min, c_max, wsh: int, wsw: int,
+                   h: int, w: int):
+    """Mask-bbox-centered window origin, clamped per dimension. The single
+    definition keeps the materialized-cloud and fused from-depth windowed
+    paths bit-identical (CATRE_DISABLE_FUSED_WINDOW A/B contract)."""
+    r0 = jnp.clip((r_min + r_max + 1 - wsh) // 2, 0, h - wsh)
+    c0 = jnp.clip((c_min + c_max + 1 - wsw) // 2, 0, w - wsw)
+    return r0, c0
+
+
+def _window_to_flat_idx(idx_w, r0, c0, wsw: int, w: int):
+    """Window-local index -> flat H*W pixel index (nocs/rgb alignment)."""
+    return ((r0 + idx_w // wsw) * w + (c0 + idx_w % wsw)).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("ratio", "num_points", "fps_sample",
                                    "window_size"))
 def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndarray,
@@ -128,17 +143,15 @@ def batch_ball_crop(key, cloud: jnp.ndarray, masks: jnp.ndarray, poses: jnp.ndar
             r_max = jnp.max(jnp.where(rows, ridx, -1))
             c_min = jnp.min(jnp.where(cols, cidx, w))
             c_max = jnp.max(jnp.where(cols, cidx, -1))
-            r0 = jnp.clip((r_min + r_max + 1 - wsh) // 2, 0, h - wsh)
-            c0 = jnp.clip((c_min + c_max + 1 - wsw) // 2, 0, w - wsw)
+            r0, c0 = _window_origin(r_min, r_max, c_min, c_max, wsh, wsw, h, w)
             cloud_w = jax.lax.dynamic_slice(cloud, (r0, c0, 0), (wsh, wsw, 3))
             mask_w = jax.lax.dynamic_slice(mask, (r0, c0), (wsh, wsw))
             pts = cloud_w.reshape(-1, 3)
             valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
             sampled, idx_w, n_in = crop_ball_from_cloud(
                 k, pts, valid, pose, scale, ratio, num_points)
-            # window index -> flat image pixel index (nocs/rgb alignment)
-            idx = (r0 + idx_w // wsw) * w + (c0 + idx_w % wsw)
-            return sampled, idx.astype(jnp.int32), n_in
+            idx = _window_to_flat_idx(idx_w, r0, c0, wsw, w)
+            return sampled, idx, n_in
 
         return jax.vmap(one_windowed)(keys, masks, poses, scales)
 
@@ -205,8 +218,8 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
     bits = jnp.arange(m, dtype=packed.dtype if bit_packed else jnp.uint8)
 
     def one_inst(k, bit, bbox, pose, scale, mask_i=None):
-        r0 = jnp.clip((bbox[0] + bbox[1] + 1 - wsh) // 2, 0, h - wsh)
-        c0 = jnp.clip((bbox[2] + bbox[3] + 1 - wsw) // 2, 0, w - wsw)
+        r0, c0 = _window_origin(bbox[0], bbox[1], bbox[2], bbox[3],
+                                wsh, wsw, h, w)
         dw = jax.lax.dynamic_slice(depth, (r0, c0), (wsh, wsw))
         if dw.dtype == jnp.uint16:
             # f32(u16)/1000 is exactly rounded — bit-identical to the host's
@@ -226,8 +239,8 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
         valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
         sampled, idx_w, n_in = crop_ball_from_cloud(
             k, pts, valid, pose, scale, ratio, num_points)
-        idx = (r0 + idx_w // wsw) * w + (c0 + idx_w % wsw)
-        return sampled, idx.astype(jnp.int32), n_in
+        idx = _window_to_flat_idx(idx_w, r0, c0, wsw, w)
+        return sampled, idx, n_in
 
     if bit_packed:
         return jax.vmap(one_inst)(keys, bits, mask_bbox, poses, scales)
