@@ -579,6 +579,13 @@ class CATRELoader:
         record/augmentation stream of an uninterrupted run."""
         self._pos += int(n_images)
 
+    def reset_stream(self) -> None:
+        """Rewind to record 0 so a finished (test) loader can be iterated
+        again — periodic eval reuses one loader instance to keep the
+        decoded-tensor caches (RAM / HBM) warm across evals. Sampling keys
+        are positional, so every pass draws the identical stream."""
+        self._pos = 0
+
     # ------------------------------------------------------------- streams
     def _train_records(self):
         """Rank-strided slice of the infinite shuffled index stream (the

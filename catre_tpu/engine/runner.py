@@ -509,10 +509,23 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
         dev_batches = (mesh is None and comm.get_world_size() == 1
                        and not loader_cfg.with_nocs
                        and not loader_cfg.pcl_with_color)
-        loader = CATRELoader(local_dicts, loader_cfg, phase="test",
-                             ims_per_batch=ims_per_batch,
-                             num_workers=int(cfg.DATALOADER.get("NUM_WORKERS", 0)),
-                             device_batches=dev_batches)
+        # periodic eval reuses one loader per dataset/config so the decoded-
+        # tensor caches (RAM / HBM device cache) survive across evals — a
+        # fresh loader would re-decode and re-upload the whole test split
+        # (~0.9 MB/frame over the relay) every eval period
+        num_workers = int(cfg.DATALOADER.get("NUM_WORKERS", 0))
+        lkey = ("test_loader", dset_name, ims_per_batch, dev_batches,
+                num_workers, repr(loader_cfg))
+        if ctx is not None and lkey in ctx:
+            loader = ctx[lkey]
+            loader.reset_stream()
+        else:
+            loader = CATRELoader(local_dicts, loader_cfg, phase="test",
+                                 ims_per_batch=ims_per_batch,
+                                 num_workers=num_workers,
+                                 device_batches=dev_batches)
+            if ctx is not None:
+                ctx[lkey] = loader
         if ctx is not None and ("refine", n_iter) in ctx:
             refine = ctx[("refine", n_iter)]
         else:

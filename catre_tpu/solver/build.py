@@ -117,7 +117,9 @@ def _base_optimizer(opt_cfg: dict) -> tuple:
 
         def make(lr_):
             return badam(
-                lr_, weight_decay=wd if wd else 1e-2,
+                # reference badam.py:35 defaults weight_decay=1e-2 only
+                # when the key is ABSENT; an explicit 0.0 disables decay
+                lr_, weight_decay=float(opt_cfg.get("weight_decay", 1e-2)),
                 b1=float(opt_cfg.get("betas", (0.9, 0.999))[0]),
                 b2=float(opt_cfg.get("betas", (0.9, 0.999))[1]),
                 eps=float(opt_cfg.get("eps", 1e-6)),
@@ -127,7 +129,8 @@ def _base_optimizer(opt_cfg: dict) -> tuple:
 
         def make(lr_):
             return ranger21(
-                lr_, weight_decay=wd if wd else 1e-4,
+                # reference ranger21.py:111 default (absent-key only)
+                lr_, weight_decay=float(opt_cfg.get("weight_decay", 1e-4)),
                 b1=float(opt_cfg.get("betas", (0.9, 0.999))[0]),
                 b2=float(opt_cfg.get("betas", (0.9, 0.999))[1]),
                 eps=float(opt_cfg.get("eps", 1e-8)),

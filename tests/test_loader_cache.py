@@ -284,3 +284,24 @@ def test_windowed_loader_matches_full_field(fake_real_root, cache):  # noqa: F81
             np.testing.assert_array_equal(ua, ub)
             checked += 1
     assert checked == 2
+
+
+@pytest.mark.parametrize("cache", ["", "device"])
+def test_reset_stream_reiterates_identically(fake_real_root, cache):  # noqa: F811
+    """reset_stream() rewinds a finished test loader for the next periodic
+    eval (runner caches the loader to keep the RAM/HBM decoded caches warm);
+    positional keys make every pass draw the identical stream."""
+    dicts = _test_dicts(fake_real_root)
+    ld = CATRELoader(
+        dicts, LoaderConfig(num_pcl=128, max_objs_per_image=2,
+                            aug_depth=False, cache_decoded=cache),
+        phase="test", ims_per_batch=1, seed=5)
+    first = _batches(ld)
+    assert _batches(ld) == []  # exhausted without a rewind
+    ld.reset_stream()
+    second = _batches(ld)
+    assert len(first) == len(second) == 2
+    for a, b in zip(first, second):
+        assert a["scene_im_ids"] == b["scene_im_ids"]
+        np.testing.assert_array_equal(np.asarray(a["pcl"]), np.asarray(b["pcl"]))
+        np.testing.assert_allclose(a["obj_pose_est"], b["obj_pose_est"], atol=0)
