@@ -329,7 +329,8 @@ _SAMPLER_CACHE: dict = {}
 def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
     key = (kind, cfg.depth_sample_ball_ratio, cfg.num_pcl, cfg.fps_sample,
            cfg.max_objs_per_image, train_aug, cfg.sample_window,
-           bool(os.environ.get("CATRE_DISABLE_FUSED_WINDOW")))
+           bool(os.environ.get("CATRE_DISABLE_FUSED_WINDOW")),
+           os.environ.get("CATRE_WINDOW_SELECTION", "topk"))
     if train_aug:
         key += (cfg.drop_depth_prob, cfg.drop_depth_ratio,
                 cfg.add_noise_depth_prob, cfg.add_noise_depth_level)
@@ -358,6 +359,9 @@ def _make_one_image_fn(cfg: LoaderConfig, train_aug: bool):
     fused_window = (cfg.sample_window > 0 and not train_aug
                     and not cfg.fps_sample
                     and not os.environ.get("CATRE_DISABLE_FUSED_WINDOW"))
+    # CATRE_WINDOW_SELECTION=packed_sort switches the windowed in-ball
+    # selection to the packed-u32 single-operand sort (see ball_crop_indices)
+    selection = os.environ.get("CATRE_WINDOW_SELECTION", "topk")
 
     def one(key, depth, K, packed, poses, scales, mask_bbox):
         h, w = depth.shape
@@ -365,7 +369,7 @@ def _make_one_image_fn(cfg: LoaderConfig, train_aug: bool):
             return batch_ball_crop_from_depth(
                 key, depth, K, packed, mask_bbox, poses, scales,
                 ratio=cfg.depth_sample_ball_ratio, num_points=cfg.num_pcl,
-                window_size=cfg.sample_window,
+                window_size=cfg.sample_window, selection=selection,
             )
         if depth.dtype == jnp.uint16:
             # depth ships as raw millimeters (half the bytes of f32);

@@ -26,7 +26,8 @@ BIG = 1e30
 
 def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.ndarray,
                       radius: jnp.ndarray, num_points: int, min_inside: int = 10,
-                      growth: float = 1.1, growth_steps: int = 10) -> tuple:
+                      growth: float = 1.1, growth_steps: int = 10,
+                      selection: str = "topk") -> tuple:
     """Select `num_points` indices of `pts` inside a ball around `center`.
 
     Args:
@@ -35,6 +36,14 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
       center: (3,) ball center (initial translation estimate)
       radius: scalar initial radius (ratio * ||R @ scale||)
       num_points: output size (static)
+      selection: "topk" (exact f32 top_k over random priorities) or
+        "packed_sort" (priority quantized into the high bits of ONE u32 with
+        the candidate index in the low bits, single-operand ascending sort —
+        half the sort payload of top_k's (value, iota) pair; ties at the
+        32-idx_bits-bit priority granularity break by candidate order, still
+        uniform-without-replacement to ~2^-18 for a 128^2 window). Both keep
+        the exact n_inside semantics and take EVERY inside point when
+        n_inside <= num_points.
     Returns:
       (idx (num_points,) int32, n_inside scalar int32)
     """
@@ -57,9 +66,23 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
 
     # uniform-without-replacement among inside points via random priorities
     priority = jax.random.uniform(key, (n,))
-    priority = jnp.where(inside, priority, BIG)
-    _, idx = jax.lax.top_k(-priority, num_points)
-    idx = idx.astype(jnp.int32)
+    if selection == "packed_sort":
+        idx_bits = max(1, (n - 1).bit_length())
+        pri_bits = 32 - idx_bits
+        if pri_bits < 12:
+            raise ValueError(f"packed_sort needs n <= 2^20, got {n}")
+        pq = (priority * (1 << pri_bits)).astype(jnp.uint32)
+        # cap below the all-ones sentinel so an inside key can never equal it
+        pq = jnp.minimum(pq, jnp.uint32((1 << pri_bits) - 2))
+        key32 = jnp.where(inside,
+                          (pq << idx_bits) | jnp.arange(n, dtype=jnp.uint32),
+                          jnp.uint32(0xFFFFFFFF))
+        sel = jax.lax.sort(key32)[:num_points]
+        idx = (sel & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    else:
+        priority = jnp.where(inside, priority, BIG)
+        _, idx = jax.lax.top_k(-priority, num_points)
+        idx = idx.astype(jnp.int32)
 
     # cycle when fewer than num_points qualify (duplicate-pad semantics)
     j = jnp.arange(num_points, dtype=jnp.int32)
@@ -68,7 +91,8 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
     return idx, n_inside
 
 
-def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points: int):
+def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points: int,
+                         selection: str = "topk"):
     """Full ball-crop: radius from the pose/scale estimate
     (`crop_ball_from_depth_image:380-400`), then index selection + gather.
 
@@ -79,7 +103,8 @@ def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points:
     """
     center = pose[:, 3]
     radius = ratio * jnp.linalg.norm(pose[:, :3] @ scale)
-    idx, n_inside = ball_crop_indices(key, pts, valid, center, radius, num_points)
+    idx, n_inside = ball_crop_indices(key, pts, valid, center, radius, num_points,
+                                      selection=selection)
     return pts[idx], idx, n_inside
 
 
@@ -181,7 +206,7 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
                                packed: jnp.ndarray, mask_bbox: jnp.ndarray,
                                poses: jnp.ndarray, scales: jnp.ndarray,
                                ratio: float, num_points: int,
-                               window_size: int):
+                               window_size: int, selection: str = "topk"):
     """Windowed ball-crop straight from the raw per-image tensors — the
     full-frame intermediates of `batch_ball_crop` (unpacked (M, H, W) bool
     masks, the (H, W, 3) backprojected cloud, and the per-instance
@@ -238,7 +263,8 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
         pts = pts.reshape(-1, 3)
         valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
         sampled, idx_w, n_in = crop_ball_from_cloud(
-            k, pts, valid, pose, scale, ratio, num_points)
+            k, pts, valid, pose, scale, ratio, num_points,
+            selection=selection)
         idx = _window_to_flat_idx(idx_w, r0, c0, wsw, w)
         return sampled, idx, n_in
 

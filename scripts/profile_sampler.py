@@ -128,9 +128,10 @@ def window_select(k, cloud, mask, pose, scale, r0, c0, use_topk=True):
 
 
 def variant(name):
-    if name == "fused":
+    if name in ("fused", "fused_ps"):
         from catre_tpu.ops.sampling import batch_ball_crop_from_depth
 
+        sel = "packed_sort" if name == "fused_ps" else "topk"
         bboxes_np = np.empty((G, M, 4), np.int32)
         grid = [(r, c) for r in range(2) for c in range(4)]
         for i, (r, c) in enumerate(grid):
@@ -141,7 +142,7 @@ def variant(name):
         def one_img(k, depth, K, packedw, pose_i, scale_i, bbox_i):
             return batch_ball_crop_from_depth(
                 k, depth, K, packedw, bbox_i, pose_i, scale_i,
-                ratio=RATIO, num_points=NPTS, window_size=WS)
+                ratio=RATIO, num_points=NPTS, window_size=WS, selection=sel)
 
         @jax.jit
         def prog(keys, depths, Ks, packed, poses, scales):
@@ -221,7 +222,7 @@ def sync(out):
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
-for name in ["full", "fused", "no_topk", "no_bbox", "front_only",
+for name in ["full", "fused", "fused_ps", "no_topk", "no_bbox", "front_only",
              "topk_only", "topk_packed"]:
     prog = variant(name)
     out = prog(keys, depths, Ks, packed, poses, scales)

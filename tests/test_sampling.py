@@ -260,3 +260,41 @@ def test_window_between_image_dims():
     assert n == int(win[2][0]) == 24 * 30
     assert (set(np.asarray(full[1][0]).tolist())
             == set(np.asarray(win[1][0]).tolist()))
+
+
+def test_packed_sort_selection_semantics():
+    """selection='packed_sort' (one u32 sort instead of f32 top_k):
+    identical n_inside, same every-inside-point multiset when
+    n_inside <= num_points, and a duplicate-free uniform subset of the
+    inside points when n_inside > num_points."""
+    center = np.array([0.0, 0.0, 1.0], np.float32)
+    rng = np.random.default_rng(5)
+    inside = (rng.normal(size=(300, 3)) * 0.02 + center).astype(np.float32)
+    outside = (rng.normal(size=(200, 3)) * 0.02 + center + 5.0).astype(np.float32)
+    pts = np.concatenate([inside, outside])
+    valid = np.ones(500, bool)
+
+    for npts, expect_all in ((400, True), (128, False)):
+        i_top, n_top = ball_crop_indices(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(valid),
+            jnp.asarray(center), jnp.float32(0.2), num_points=npts)
+        i_ps, n_ps = ball_crop_indices(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(valid),
+            jnp.asarray(center), jnp.float32(0.2), num_points=npts,
+            selection="packed_sort")
+        assert int(n_top) == int(n_ps) == 300
+        a, b = np.asarray(i_top), np.asarray(i_ps)
+        assert np.all(b < 300)  # only inside points selected
+        if expect_all:
+            # every inside point taken (cycled) in both schemes
+            assert set(a.tolist()) == set(b.tolist()) == set(range(300))
+        else:
+            # without-replacement subset of the inside points
+            assert len(set(b.tolist())) == npts
+
+    # empty-ball fallback path unchanged
+    i_e, n_e = ball_crop_indices(
+        jax.random.PRNGKey(2), jnp.asarray(pts), jnp.asarray(~valid),
+        jnp.asarray(center), jnp.float32(0.2), num_points=64,
+        selection="packed_sort")
+    assert int(n_e) == 0
