@@ -21,3 +21,22 @@ if "CATRE_DATA_ROOT" not in os.environ and osp.isdir("/root/reference/datasets")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent CPU compile cache across suite runs (the suite is rerun before
+# every commit; the repeated jits dominate its wall time). The dir is keyed
+# by a machine fingerprint because XLA:CPU AOT executables embed host CPU
+# features — loading an executable compiled on a different machine type can
+# SIGILL (xla cpu_aot_loader warns about exactly this). A new host gets a
+# fresh cache; stale dirs are just disk.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = "".join(ln for ln in _f if ln.startswith(("model name", "flags")))
+    _fp = hashlib.sha1(_cpu.encode()).hexdigest()[:12]
+    jax.config.update("jax_compilation_cache_dir",
+                      osp.join(osp.dirname(__file__), "..",
+                               f".jax_cache_cpu_{_fp}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
