@@ -157,7 +157,32 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """jax.devices() hangs indefinitely when the axon relay is down (backend
+    init blocks, no deadline). Probe it on a daemon thread so an outage
+    fails the bench FAST with a clear message instead of hanging until the
+    caller's timeout kills us mid-silence."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180"))):
+        print("bench: device backend unavailable (axon relay down?) — "
+              "no metrics produced", file=sys.stderr)
+        sys.exit(2)
+
     import jax
 
     # persistent compilation cache: remote compiles in this image are slow
