@@ -139,6 +139,21 @@ def worker_main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # same machine-keyed persistent CPU compile cache as conftest.py — the
+    # two workers' compiles dominate this test's wall time otherwise
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as _f:
+            _cpu = "".join(ln for ln in _f
+                           if ln.startswith(("model name", "flags")))
+        _fp = hashlib.sha1(_cpu.encode()).hexdigest()[:12]
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            osp.join(osp.dirname(__file__), "..", f".jax_cache_cpu_{_fp}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from catre_tpu.parallel import comm, make_mesh
 
