@@ -52,14 +52,18 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
     dist = jnp.where(valid, dist, BIG)
 
     radius = jnp.maximum(radius, 0.05)
-    # radius-growth loop (`crop_ball_from_pts:292-296`): radii r*g^k, pick the
-    # smallest k with >= min_inside points; all-valid fallback if none.
+    # radius-growth loop (`crop_ball_from_pts:289-301`): radii r*g^k, pick the
+    # smallest k with >= min_inside points. If NO radius reaches min_inside
+    # the reference keeps whatever the largest grown radius holds (its loop
+    # exits with idx = in-ball at r*g^(G-1)); only a completely EMPTY largest
+    # ball falls back to every valid point (`:297-298` distance <= 1e9).
     radii = radius * growth ** jnp.arange(growth_steps, dtype=dist.dtype)  # (G,)
     counts = jnp.sum(dist[None, :] <= radii[:, None], axis=1)  # (G,)
     ok = counts >= min_inside
     k_first = jnp.argmax(ok)  # first True (0 if none — fixed below)
     any_ok = jnp.any(ok)
-    eff_radius = jnp.where(any_ok, radii[k_first], BIG)  # fallback: all valid pts
+    eff_radius = jnp.where(any_ok, radii[k_first],
+                           jnp.where(counts[-1] > 0, radii[-1], BIG))
 
     inside = valid & (dist <= eff_radius)
     n_inside = jnp.sum(inside).astype(jnp.int32)
