@@ -26,23 +26,33 @@ def _choose_row(key, options: jnp.ndarray):
 
 def aug_poses_normal(key, poses: jnp.ndarray, std_rot: jnp.ndarray,
                      std_trans: jnp.ndarray, max_rot: float = 45.0,
-                     min_z: float = 0.1) -> jnp.ndarray:
+                     min_z: float = 0.1, euler_deg_override=None,
+                     trans_noise_override=None) -> jnp.ndarray:
     """Perturb gt poses with euler-angle + translation noise.
 
     Args:
       poses: (B, 3, 4)
       std_rot: (R,) ladder of rotation noise stds in degrees
       std_trans: (T, 3) ladder of translation noise stds (meters)
+      euler_deg_override / trans_noise_override: replace the drawn noises
+        (pre-clip degrees / meters) — golden tests drive the transform with
+        the reference's exact draw.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     bs = poses.shape[0]
-    sel_rot = _choose_row(k1, jnp.atleast_1d(std_rot))
-    euler_deg = jax.random.normal(k2, (bs, 3)) * sel_rot
+    if euler_deg_override is not None:
+        euler_deg = jnp.asarray(euler_deg_override)
+    else:
+        sel_rot = _choose_row(k1, jnp.atleast_1d(std_rot))
+        euler_deg = jax.random.normal(k2, (bs, 3)) * sel_rot
     euler_deg = jnp.clip(euler_deg, -max_rot, max_rot)
     rot_noise = euler_to_mat(jnp.deg2rad(euler_deg))
 
-    sel_trans = _choose_row(k3, jnp.atleast_2d(std_trans))
-    trans_noise = jax.random.normal(k4, (bs, 3)) * sel_trans[None, :]
+    if trans_noise_override is not None:
+        trans_noise = jnp.asarray(trans_noise_override)
+    else:
+        sel_trans = _choose_row(k3, jnp.atleast_2d(std_trans))
+        trans_noise = jax.random.normal(k4, (bs, 3)) * sel_trans[None, :]
 
     R_aug = rot_noise @ poses[:, :3, :3]
     t_aug = poses[:, :3, 3] + trans_noise
@@ -51,23 +61,31 @@ def aug_poses_normal(key, poses: jnp.ndarray, std_rot: jnp.ndarray,
 
 
 def aug_scale_normal(key, scales: jnp.ndarray, std_scale: jnp.ndarray,
-                     min_s: float = 0.04, max_s: float = 0.45) -> jnp.ndarray:
-    """Perturb gt scales. scales: (B, 3); std_scale: (S, 3) ladder."""
+                     min_s: float = 0.04, max_s: float = 0.45,
+                     noise_override=None) -> jnp.ndarray:
+    """Perturb gt scales. scales: (B, 3); std_scale: (S, 3) ladder.
+    noise_override replaces the drawn noise (golden tests)."""
     k1, k2 = jax.random.split(key)
-    sel = _choose_row(k1, jnp.atleast_2d(std_scale))
-    noise = jax.random.normal(k2, scales.shape) * sel[None, :]
+    if noise_override is not None:
+        noise = jnp.asarray(noise_override)
+    else:
+        sel = _choose_row(k1, jnp.atleast_2d(std_scale))
+        noise = jax.random.normal(k2, scales.shape) * sel[None, :]
     return jnp.clip(scales + noise, max(min_s, 1e-4), max_s)
 
 
 def aug_3d_bbox(key, pcl: jnp.ndarray, pose: jnp.ndarray, scale: jnp.ndarray,
                 sym_flags: jnp.ndarray, shift_min: float = 0.8,
-                shift_max: float = 1.2):
+                shift_max: float = 1.2, ratios_e=None):
     """Anisotropic object-frame rescale of cloud + gt scale.
 
     One (ex, ey, ez) draw per batch (ref `engine_utils.py:110-114`); y-axis
     symmetric samples average the x/z ratios.  Returns (pcl_aug, scale_aug).
+    `ratios_e` overrides the drawn (ex, ey, ez) — golden tests drive the
+    transform with the reference's exact draw.
     """
-    e = jax.random.uniform(key, (3,)) * (shift_max - shift_min) + shift_min
+    e = (jnp.asarray(ratios_e) if ratios_e is not None
+         else jax.random.uniform(key, (3,)) * (shift_max - shift_min) + shift_min)
     exz = (e[0] + e[2]) / 2.0
     ratios_sym = jnp.stack([exz, e[1], exz])
     ratios_nosym = e
@@ -83,17 +101,21 @@ def aug_3d_bbox(key, pcl: jnp.ndarray, pose: jnp.ndarray, scale: jnp.ndarray,
 
 
 def aug_rt(key, pcl: jnp.ndarray, pose: jnp.ndarray,
-           shift_t=(0.005, 0.005, 0.025), shift_rot: float = 15.0):
+           shift_t=(0.005, 0.005, 0.025), shift_rot: float = 15.0,
+           rxyz_deg=None, dt_override=None):
     """Random rigid batch-level perturbation applied to cloud AND gt pose.
 
     One (delta_r, delta_t) draw per batch (ref `engine_utils.py:146-151`).
-    Returns (pcl_aug, pose_aug).
+    Returns (pcl_aug, pose_aug). `rxyz_deg`/`dt_override` replace the draws
+    (golden tests drive the transform with the reference's exact draw).
     """
     k1, k2 = jax.random.split(key)
-    rxyz = jax.random.uniform(k1, (3,)) * (2 * shift_rot) - shift_rot
+    rxyz = (jnp.asarray(rxyz_deg) if rxyz_deg is not None
+            else jax.random.uniform(k1, (3,)) * (2 * shift_rot) - shift_rot)
     # reference builds Rz @ Ry @ Rx (`get_rotation_torch`, engine_utils.py:176-185)
     shift = jnp.asarray(shift_t)
-    dt = jax.random.uniform(k2, (3,)) * (2 * shift) - shift
+    dt = (jnp.asarray(dt_override) if dt_override is not None
+          else jax.random.uniform(k2, (3,)) * (2 * shift) - shift)
     rad = jnp.deg2rad(rxyz)
     cx, sx = jnp.cos(rad[0]), jnp.sin(rad[0])
     cy, sy = jnp.cos(rad[1]), jnp.sin(rad[1])

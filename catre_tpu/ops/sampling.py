@@ -10,8 +10,13 @@ TPU-native design: the reference's dynamic-shape host gather becomes a
 masked top-k over a random priority field — fixed 1024-point output, no
 data-dependent shapes, vmappable across instances.  Selection is uniform
 without replacement among in-ball points (matching the reference's
-randperm); when fewer than `num_points` qualify, indices cycle (the
-reference duplicates the index list, same multiset up to ordering).
+randperm); when fewer than `num_points` qualify, indices cycle. Deliberate
+deviation in that scarce case: our cycling gives every candidate a
+balanced ±1 repeat count and never drops one, while the reference doubles
+the index list and randperm-samples from it (`crop_ball_from_pts:300-307`
++ `random_sample:314-320`) — random repeat counts, and a candidate can
+lose all its copies. Same candidate SET semantics, slightly different
+duplicate distribution.
 """
 
 from __future__ import annotations
