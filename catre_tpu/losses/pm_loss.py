@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..geom.symmetry import closest_rot_batch
 from ..geom.transforms import transform_normed_pts
-from .common import elementwise, masked_mean
+from .common import elementwise, l2_norm_per_sample, masked_mean
 
 
 def pm_loss(
@@ -54,7 +54,20 @@ def pm_loss(
     per-sample weight 1/max(extent) applied to the prior points, the
     GDR-Net ancestor semantics.
     """
-    fn = elementwise(loss_type, beta)
+    if loss_type.lower() == "l2":
+        # reference L2Loss (`losses/l2_loss.py:5-38`): per-sample L2 norm of
+        # the flattened difference, mean over the batch — NOT elementwise
+        def pair(a, b):
+            return l2_norm_per_sample(a.reshape(a.shape[0], -1),
+                                      b.reshape(b.shape[0], -1))
+    else:
+        fn = elementwise(loss_type, beta)
+
+        def pair(a, b):
+            # per-sample mean over all non-batch dims
+            d = fn(a, b)
+            return d if d.ndim == 1 else jnp.mean(
+                d, axis=tuple(range(1, d.ndim)))
 
     if norm_by_extent:
         assert extents is not None, "norm_by_extent requires extents"
@@ -71,9 +84,8 @@ def pm_loss(
     points_tgt = transform_normed_pts(points, gt_rots, t=None, scale=scale_tgt)
 
     def pm_mean(a, b):
-        # per-sample mean over (P, 3), then masked batch mean
-        per = jnp.mean(fn(a, b), axis=(1, 2))
-        return masked_mean(per, valid_mask)
+        # per-sample pair loss, then masked batch mean
+        return masked_mean(pair(a, b), valid_mask)
 
     if r_only:
         return {"loss_PM_R": 3.0 * pm_mean(points_est, points_tgt) * loss_weight}
@@ -95,10 +107,10 @@ def pm_loss(
         return {
             "loss_PM_R": 3.0 * pm_mean(points_est, points_tgt) * loss_weight,
             "loss_PM_xy_noP": masked_mean(
-                jnp.mean(fn(pred_transes[:, :2], gt_transes[:, :2]), axis=1), valid_mask
+                pair(pred_transes[:, :2], gt_transes[:, :2]), valid_mask
             ),
             "loss_PM_z_noP": masked_mean(
-                fn(pred_transes[:, 2], gt_transes[:, 2]), valid_mask
+                pair(pred_transes[:, 2:3], gt_transes[:, 2:3]), valid_mask
             ),
         }
     if disentangle_t:
@@ -113,7 +125,7 @@ def pm_loss(
         return {
             "loss_PM_R": 3.0 * pm_mean(points_est, points_tgt) * loss_weight,
             "loss_PM_T_noP": masked_mean(
-                jnp.mean(fn(pred_transes, gt_transes), axis=1), valid_mask
+                pair(pred_transes, gt_transes), valid_mask
             ),
         }
     tgt_RT = points_tgt + gt_transes[:, None, :]
