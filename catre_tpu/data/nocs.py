@@ -214,7 +214,16 @@ class NOCSDataset:
                     continue
 
                 inst = {
-                    "category_id": self.cat2label[class_id],  # 0-based
+                    # GLOBAL 0-based label (index into meta.OBJECTS), also
+                    # for per-object subset splits. Deliberate design
+                    # difference: the reference keeps subset-RELATIVE labels
+                    # (`nocs.py` cat2label + the evaluator's test->train
+                    # remap `catre_evaluator.py:271-289`); here every
+                    # downstream consumer (sym flags, mean-shape tables,
+                    # eval class names, the protocol's symmetric-class set)
+                    # is keyed to the global category table, so subset
+                    # splits stay correct without a remap layer.
+                    "category_id": meta.OBJECTS.index(obj_name),
                     "inst_name": inst_name,
                     "inst_id": int(inst_id),
                     "bbox": bbox,
@@ -300,7 +309,8 @@ def load_init_poses_into_dataset(dataset_dicts: list, init_pose_file: str,
             if train_objs is not None and obj_name not in train_objs:
                 continue
             inst = {
-                "category_id": objs.index(obj_name),
+                # global label — see the design note in NOCSDataset above
+                "category_id": meta.OBJECTS.index(obj_name),
                 "pose_est": np.array(det["pose_est"], dtype=np.float32).reshape(3, 4),
                 "scale_est": np.array(det["scale_est"], dtype=np.float32),
                 "obj_name": obj_name,

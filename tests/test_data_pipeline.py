@@ -187,3 +187,59 @@ def test_test_loader_interleaved_empties_and_partial_group(fake_real_root):
 
     assert sorted(seen_valid) == [f"scene_1/{i:04d}v" for i in range(5)]
     assert sorted(seen_empty) == [f"scene_1/{i:04d}e" for i in range(3)]
+
+
+def test_per_object_split_uses_global_labels(tmp_path):
+    """Per-object subset splits must carry GLOBAL category ids so sym flags,
+    mean-shape lookups, and the eval protocol's symmetric-class set stay
+    correct (the reference keeps subset-relative labels + an evaluator
+    remap; we key everything global — see NOCSDataset design note).
+    Regression: laptop (non-symmetric, global label 4) in a single-object
+    split used to come out as label 0 = bottle (symmetric)."""
+    root = tmp_path / "REAL"
+    split_dir = root / "real_test" / "scene_1"
+    split_dir.mkdir(parents=True)
+    h, w = meta.IM_HEIGHT, meta.IM_WIDTH
+    depth = np.zeros((h, w), dtype=np.uint16)
+    depth[200:300, 200:300] = 1000
+    mask = np.zeros((h, w), dtype=np.uint8)
+    mask[210:290, 210:290] = 7
+    label = {
+        "instance_ids": [7],
+        "class_ids": [5],  # laptop (1-based global)
+        "model_list": ["laptop_fake_norm"],
+        "rotations": [np.eye(3, dtype=np.float32)],
+        "translations": [np.array([0, 0, 1.0], np.float32)],
+        "scales": [1.0],
+        "bboxes": [[210, 210, 290, 290]],
+    }
+    base = split_dir / "0000"
+    cv2.imwrite(str(base) + "_depth.png", depth)
+    cv2.imwrite(str(base) + "_mask.png", mask)
+    cv2.imwrite(str(base) + "_color.png", np.zeros((h, w, 3), np.uint8))
+    with open(str(base) + "_label.pkl", "wb") as f:
+        pickle.dump(label, f)
+    (root / "real_test_list_all.txt").write_text("real_test/scene_1/0000")
+
+    ds = NOCSDataset("nocs_test_real_laptop", objs=["laptop"],
+                     image_root=str(root), use_cache=False)
+    dicts = ds()
+    assert len(dicts) == 1
+    anno = dicts[0]["annotations"][0]
+    assert anno["category_id"] == meta.OBJECTS.index("laptop") == 4
+
+    from catre_tpu.data.loader import CATRELoader, LoaderConfig
+    anno["pose_est"] = anno["pose"]
+    anno["scale_est"] = anno["scale"]
+    anno["score"] = 1.0
+    ld = CATRELoader(dicts, LoaderConfig(num_pcl=64, max_objs_per_image=1,
+                                         aug_depth=False),
+                     phase="test", ims_per_batch=1, seed=0)
+    (batch,) = [b for b in ld if not b.get("empty")]
+    assert int(np.asarray(batch["obj_cls"])[0]) == 4
+    assert not bool(np.asarray(batch["sym_flag"])[0])  # laptop: not symmetric
+    # mean shape row 4 (laptop), not row 0 (bottle)
+    from catre_tpu.data import assets
+    mean_pts = assets.mean_shape_array()
+    np.testing.assert_allclose(np.asarray(batch["obj_mean_points"])[0],
+                               np.asarray(mean_pts)[4], atol=0)
