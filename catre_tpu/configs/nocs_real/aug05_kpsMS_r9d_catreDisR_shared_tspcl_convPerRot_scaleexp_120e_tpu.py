@@ -38,10 +38,12 @@ SOLVER = dict(
 # steady-state training ships only PRNG keys + record indices per step, and
 # single-process runs additionally keep the sampled clouds device-resident
 # (device_batches, auto). Measured: loader 1745 obj/s > device 1340 obj/s
-# (docs/PERF.md). NOTE: INPUT.SAMPLE_WINDOW stays 0 (reference-exact
-# sampling) — setting it to >= the largest instance-mask bbox (e.g. 256)
-# is another measured +~50% eval-pipeline lever, but REAL275 close-range
-# instances can exceed 256 px, truncating their candidate field.
+# (docs/PERF.md). INPUT.SAMPLE_WINDOW=-1 (auto) resolves to the smallest
+# window covering every annotation bbox in the split, so the windowed
+# ball-crop stays EXACTLY equal to the full-field sampler (the measured
+# eval-pipeline lever, +~50% at window=128 — docs/PERF.md) with no
+# truncation risk; the loader warns if a decoded mask ever exceeds it.
 DATALOADER = dict(MAX_OBJS_TRAIN=512, NUM_WORKERS=4, CACHE_DECODED="device")
+INPUT = dict(SAMPLE_WINDOW=-1)
 
 TEST = dict(IMS_PER_BATCH=32)  # batched eval jit calls (knee: PERF.md)

@@ -58,7 +58,9 @@ class LoaderConfig:
     sample_depth_from_ball: bool = True
     fps_sample: bool = False
     # INPUT.SAMPLE_WINDOW: per-instance mask-bbox-centered candidate window
-    # (0 = full image; see ops/sampling.py batch_ball_crop)
+    # (0 = full image; -1 = auto, the smallest exactness-preserving window
+    # for the split's annotation bboxes; see auto_sample_window and
+    # ops/sampling.py batch_ball_crop)
     sample_window: int = 0
     aug_depth: bool = True
     drop_depth_prob: float = 0.5
@@ -120,6 +122,29 @@ def repeat_factors_from_category_frequency(dataset_dicts: list,
              {a["category_id"] for a in rec.get("annotations", [])}} or {1.0})
         for rec in dataset_dicts
     ], dtype=np.float64)
+
+
+def auto_sample_window(dataset_dicts: list, phase: str) -> int:
+    """Resolve INPUT.SAMPLE_WINDOW=-1: the smallest multiple of 32 covering
+    every annotation bbox in the split (test uses the detection bbox_est the
+    masks come from; train the gt bbox, which IS the gt mask's bbox). A
+    window that covers each instance's mask bbox makes the windowed
+    ball-crop EXACTLY equal to the full-field sampler (candidates are
+    mask∧depth pixels), so auto mode keeps reference-exact semantics while
+    paying only the window-sized per-instance cost. Returns 0 (full frame)
+    when any annotation lacks a usable bbox."""
+    m = 0.0
+    for rec in dataset_dicts:
+        for a in rec.get("annotations", []):
+            bb = a.get("bbox_est" if phase == "test" else "bbox",
+                       a.get("bbox"))
+            if bb is None:
+                return 0
+            x1, y1, x2, y2 = [float(v) for v in bb]
+            m = max(m, x2 - x1, y2 - y1)
+    if m <= 0:
+        return 0
+    return int(-(-(m + 2.0) // 32) * 32)  # +2 px slack, ceil to mult of 32
 
 
 def _quiet_cv2():
@@ -295,6 +320,17 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
                 cols = masks[i].any(axis=0)
                 rnz, cnz = np.flatnonzero(rows), np.flatnonzero(cols)
                 mask_bbox[i] = (rnz[0], rnz[-1], cnz[0], cnz[-1])
+                if max(rnz[-1] - rnz[0], cnz[-1] - cnz[0]) >= cfg.sample_window:
+                    global _WINDOW_TRUNC_WARNED
+                    if not _WINDOW_TRUNC_WARNED:
+                        _WINDOW_TRUNC_WARNED = True
+                        logger.warning(
+                            "SAMPLE_WINDOW=%d smaller than a %dx%d mask bbox "
+                            "(%s) — border pixels of such instances are "
+                            "excluded from the ball-crop candidates; use a "
+                            "larger window, -1 (auto), or 0 for exactness",
+                            cfg.sample_window, rnz[-1] - rnz[0] + 1,
+                            cnz[-1] - cnz[0] + 1, record.get("scene_im_id"))
 
     return {
         "depth_ship": _quantize_depth(depth),
@@ -324,6 +360,9 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
 # they close over: a fresh jax.jit per CATRELoader would re-trace (and pay a
 # compile-cache round trip) for every loader built — one per periodic eval
 _SAMPLER_CACHE: dict = {}
+
+# once-per-process window-truncation warning (see _gather_image_record)
+_WINDOW_TRUNC_WARNED = False
 
 
 def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
@@ -467,6 +506,12 @@ class CATRELoader:
                  device_batches: bool = False):
         assert phase in ("train", "test")
         self.dicts = dataset_dicts
+        if cfg.sample_window == -1:
+            from dataclasses import replace
+
+            cfg = replace(cfg, sample_window=auto_sample_window(
+                dataset_dicts, phase))
+            logger.info("SAMPLE_WINDOW=-1 resolved to %d", cfg.sample_window)
         self.cfg = cfg
         self.phase = phase
         self.ims_per_batch = ims_per_batch

@@ -269,8 +269,12 @@ def test_windowed_loader_matches_full_field(fake_real_root, cache):  # noqa: F81
                             aug_depth=False, sample_window=window,
                             cache_decoded=cache),
         phase="test", ims_per_batch=1, seed=5)
+    # -1 resolves to the smallest exactness-preserving multiple of 32
+    # covering the split's 50 px bboxes
+    auto = mk(-1)
+    assert auto.cfg.sample_window == 64
     full = _batches(mk(0))
-    win = _batches(mk(64))
+    win = _batches(auto)
     assert len(full) == len(win) == 2
     checked = 0
     for a, b in zip(full, win):
@@ -305,3 +309,19 @@ def test_reset_stream_reiterates_identically(fake_real_root, cache):  # noqa: F8
         assert a["scene_im_ids"] == b["scene_im_ids"]
         np.testing.assert_array_equal(np.asarray(a["pcl"]), np.asarray(b["pcl"]))
         np.testing.assert_allclose(a["obj_pose_est"], b["obj_pose_est"], atol=0)
+
+
+def test_auto_sample_window_resolution():
+    from catre_tpu.data.loader import auto_sample_window
+
+    dicts = [{"annotations": [{"bbox": [10, 10, 70, 50]},
+                              {"bbox": [0, 0, 40, 130.5]}]},
+             {"annotations": [{"bbox_est": [5, 5, 200, 60],
+                               "bbox": [0, 0, 10, 10]}]}]
+    # train: gt bboxes -> max extent 130.5 -> ceil(132.5/32)*32 = 160
+    assert auto_sample_window(dicts, "train") == 160
+    # test: bbox_est preferred -> max extent 195 -> 224
+    assert auto_sample_window(dicts, "test") == 224
+    # unusable bbox anywhere -> full frame
+    assert auto_sample_window([{"annotations": [{}]}], "train") == 0
+    assert auto_sample_window([], "train") == 0
