@@ -209,6 +209,9 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
         change_bg_prob=float(inp.get("CHANGE_BG_PROB", 0.0)) if phase == "train" else 0.0,
         truncate_fg=bool(inp.get("TRUNCATE_FG", False)),
         bg_image_dir=str(inp.get("BG_IMGS_ROOT", "")),
+        bg_type=str(inp.get("BG_TYPE", "file_dir")),
+        num_bg_imgs=int(inp.get("NUM_BG_IMGS", 10000)),
+        bg_keep_aspect_ratio=bool(inp.get("BG_KEEP_ASPECT_RATIO", True)),
         max_objs_per_image=int(cfg.DATALOADER.get("MAX_OBJS_PER_IMAGE", 8)),
         sampler_train=str(cfg.DATALOADER.get("SAMPLER_TRAIN", "TrainingSampler")),
         repeat_threshold=float(cfg.DATALOADER.get("REPEAT_THRESHOLD", 0.0)),

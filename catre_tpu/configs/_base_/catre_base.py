@@ -63,8 +63,11 @@ INPUT = dict(
     COLOR_AUG_TYPE="aae",  # roi10d | aae | code (ref common_base.py:42)
     COLOR_AUG_CODE="",     # chain string for COLOR_AUG_TYPE="code"
     CHANGE_BG_PROB=0.0,
-    TRUNCATE_FG=False,     # bg-replace half-plane fg occlusion (ref :55)
+    TRUNCATE_FG=False,     # bg-replace fg occlusion (ref :36)
+    BG_TYPE="VOC_table",   # VOC_table | coco | VOC | SUN2012 | file_dir (ref :31)
     BG_IMGS_ROOT="",
+    NUM_BG_IMGS=10000,     # pool subsample size (ref :33)
+    BG_KEEP_ASPECT_RATIO=True,  # crop-to-aspect vs stretch (ref :37)
 )
 
 DATALOADER = dict(

@@ -75,7 +75,10 @@ class LoaderConfig:
     color_aug_code: str = ""      # INPUT.COLOR_AUG_CODE (for type "code")
     change_bg_prob: float = 0.0   # INPUT.CHANGE_BG_PROB (train, RGB path)
     truncate_fg: bool = False     # INPUT.TRUNCATE_FG (bg-replace occlusion)
-    bg_image_dir: str = ""        # background still-image pool
+    bg_image_dir: str = ""        # INPUT.BG_IMGS_ROOT (pool root)
+    bg_type: str = "file_dir"     # INPUT.BG_TYPE: VOC_table|coco|VOC|SUN2012|file_dir
+    num_bg_imgs: int = 10000      # INPUT.NUM_BG_IMGS (pool subsample)
+    bg_keep_aspect_ratio: bool = True  # INPUT.BG_KEEP_ASPECT_RATIO
     max_objs_per_image: int = 8
     # DATALOADER.SAMPLER_TRAIN: TrainingSampler | RepeatFactorTrainingSampler
     # (`my_distributed_sampler.py:12-55,172-200`)
@@ -973,9 +976,12 @@ class CATRELoader:
                     if (self.cfg.change_bg_prob > 0 and self.cfg.bg_image_dir
                             and rng.random() < self.cfg.change_bg_prob):
                         fg = np.asarray(data["fg_any"])
-                        rgb = replace_background(rng, rgb, fg,
-                                                 self.cfg.bg_image_dir,
-                                                 truncate_fg=self.cfg.truncate_fg)
+                        rgb = replace_background(
+                            rng, rgb, fg, self.cfg.bg_image_dir,
+                            truncate_fg=self.cfg.truncate_fg,
+                            bg_type=self.cfg.bg_type,
+                            num_bg_imgs=self.cfg.num_bg_imgs,
+                            keep_aspect=self.cfg.bg_keep_aspect_ratio)
                     if (self.cfg.color_aug_prob > 0
                             and rng.random() < self.cfg.color_aug_prob):
                         rgb = color_augment(rng, np.ascontiguousarray(rgb),
