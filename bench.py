@@ -95,6 +95,7 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
         records = _write_synthetic_frames(root, n_frames, n_objs)
         num_pcl = int(os.environ.get("BENCH_PIPE_PCL", 1024))
         cache = os.environ.get("BENCH_PIPE_CACHE", "device")
+        ims_per_batch = int(os.environ.get("BENCH_PIPE_IMS", ims_per_batch))
         dev_batches = bool(int(os.environ.get("BENCH_PIPE_DEVBATCH", "1")))
         window = int(os.environ.get("BENCH_PIPE_WINDOW", "128"))
         prefetch = int(os.environ.get("BENCH_PIPE_PREFETCH", "2"))
@@ -204,6 +205,8 @@ def main():
     variants = [("bf16_fused", jnp.bfloat16, True)]
     if os.environ.get("BENCH_FULL", ""):  # compare against the unfused path
         variants.append(("bf16", jnp.bfloat16, False))
+    if os.environ.get("BENCH_SKIP_KERNEL", ""):  # pipeline-only A/B runs
+        variants = []
     fused_failed = False
     for dtype_name, dtype, fused in variants:
         cfg = CATREConfig(dtype=dtype, fused_heads=fused)
@@ -295,7 +298,8 @@ def main():
     )
     # emit the headline immediately (a hard kill during the multi-minute
     # pipeline bench must not lose the refine metric) ...
-    print(headline, flush=True)
+    if variants:
+        print(headline, flush=True)
 
     # secondary diagnostic line: pipeline-level rate (disk -> host decode ->
     # device ball-crop -> refine -> evaluator), VERDICT r1 item 3 / BASELINE
@@ -310,7 +314,8 @@ def main():
         # ... and re-emit it as the FINAL line: the driver parses the last
         # stdout line, and the headline metric is BASELINE.json's north star
         # (object refinements/sec/chip)
-        print(headline)
+        if variants:
+            print(headline)
 
 
 if __name__ == "__main__":
