@@ -207,6 +207,48 @@ def variant(name):
                 _, idx = jax.lax.top_k(-pri, NPTS)
                 return jnp.sum(idx)
             return jax.vmap(one_inst)(ks)
+
+    elif name == "rng_only":
+        # isolate the threefry uniform draw (the priority field)
+        def one_img(k, depth, K, packedw, pose_i, scale_i):
+            ks = jax.random.split(k, M)
+
+            def one_inst(kk):
+                return jnp.sum(jax.random.uniform(kk, (WS * WS,)))
+            return jax.vmap(one_inst)(ks)
+
+    elif name == "approx_topk":
+        # TPU PartialReduce path: approximate top-k (recall<1 biases the
+        # uniform-subset guarantee — measurement only)
+        def one_img(k, depth, K, packedw, pose_i, scale_i):
+            ks = jax.random.split(k, M)
+
+            def one_inst(kk):
+                pri = jax.random.uniform(kk, (WS * WS,))
+                _, idx = jax.lax.approx_min_k(pri, NPTS)
+                return jnp.sum(idx)
+            return jax.vmap(one_inst)(ks)
+
+    elif name == "csum_search":
+        # sort-free exact selection: threshold the priority field at
+        # ~NPTS/n_inside (overshoot guard), then compact the selected flags
+        # with a cumsum + searchsorted inversion (14 vectorized gathers)
+        # instead of a 16k sort. Measurement of the selection cost shape
+        # only (the overshoot fallback path is not modeled here).
+        def one_img(k, depth, K, packedw, pose_i, scale_i):
+            ks = jax.random.split(k, M)
+
+            def one_inst(kk):
+                pri = jax.random.uniform(kk, (WS * WS,))
+                n_in = jnp.int32(WS * WS // 3)
+                tau = jnp.minimum((NPTS + 6.0 * jnp.sqrt(float(NPTS))) /
+                                  jnp.maximum(n_in, 1), 1.0)
+                sel = pri <= tau
+                csum = jnp.cumsum(sel.astype(jnp.int32))
+                slots = jnp.arange(1, NPTS + 1, dtype=jnp.int32)
+                idx = jnp.searchsorted(csum, slots).astype(jnp.int32)
+                return jnp.sum(idx)
+            return jax.vmap(one_inst)(ks)
     else:
         raise ValueError(name)
 
@@ -223,7 +265,8 @@ def sync(out):
 
 
 for name in ["full", "fused", "fused_ps", "no_topk", "no_bbox", "front_only",
-             "topk_only", "topk_packed"]:
+             "topk_only", "topk_packed", "rng_only", "approx_topk",
+             "csum_search"]:
     prog = variant(name)
     out = prog(keys, depths, Ks, packed, poses, scales)
     sync(out)  # compile + warm
