@@ -102,7 +102,12 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
         packed = bool(int(os.environ.get("BENCH_PIPE_PACKED", "1")))
         lcfg = LoaderConfig(num_pcl=num_pcl, max_objs_per_image=n_objs,
                             aug_depth=False, cache_decoded=cache,
-                            sample_window=window)
+                            sample_window=window,
+                            # the packed refine path gathers kps on device
+                            # from the resident table; skip the (B, K, 3)
+                            # host payload (docs/PERF.md round-4)
+                            ship_mean_points=bool(int(os.environ.get(
+                                "BENCH_PIPE_SHIP_MEANPTS", "0"))))
         # CPU smoke runs skip the Pallas kernels (interpret mode is slow)
         on_tpu = jax.devices()[0].platform != "cpu"
         mcfg = CATREConfig(num_pcl=num_pcl, dtype=jnp.bfloat16,

@@ -187,6 +187,19 @@ def noise_config_from(cfg) -> InputNoiseConfig:
     )
 
 
+def _mean_table_matches(num_kps: int) -> bool:
+    """True when run_inference's device-resident mean-shape kps table will
+    be active (same condition it checks): the asset exists and its point
+    count matches — only then may the test loader skip shipping per-batch
+    mean points."""
+    try:
+        from ..data.assets import mean_shape_array
+
+        return mean_shape_array().shape[1] == num_kps
+    except FileNotFoundError:
+        return False
+
+
 def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
     inp = cfg.INPUT
     return LoaderConfig(
@@ -219,6 +232,13 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
             inp.get("INIT_POSE_TRAIN_PATH", "")
             if "last_frame" in tuple(inp.get("INIT_POSE_TYPE_TRAIN", ())) else ""
         ),
+        # the device-resident kps-table path (run_inference) replaces the
+        # per-batch (B, K, 3) mean-points payload at test time; train keeps
+        # shipping them (select_kps in _batch_to_device consumes them)
+        ship_mean_points=not (
+            phase == "test"
+            and str(inp.get("KPS_TYPE", "mean_shape")).lower() == "mean_shape"
+            and _mean_table_matches(int(inp.get("NUM_KPS", 1024)))),
         bbox_type_test=inp.get("BBOX_TYPE_TEST", "est"),
         init_pose_type_test=inp.get("INIT_POSE_TYPE_TEST", "est"),
         noise_rot_std_test=float(inp.get("NOISE_ROT_STD_TEST", 15)),

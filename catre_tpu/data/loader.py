@@ -83,6 +83,14 @@ class LoaderConfig:
     # DATALOADER.SAMPLER_TRAIN: TrainingSampler | RepeatFactorTrainingSampler
     # (`my_distributed_sampler.py:12-55,172-200`)
     sampler_train: str = "TrainingSampler"
+    # ship per-instance (M, num_pcl, 3) mean-shape POINTS in every batch.
+    # The packed/table test path gathers keypoints on device from the ONE
+    # resident (C, K, 3) table instead (eval/evaluator.py run_inference), so
+    # eval loaders set this False: the per-image host gather + the 6.3 MB
+    # per-batch concat/upload they'd otherwise pay is the single biggest
+    # host cost on a 1-CPU machine (docs/PERF.md "Round-4 TPU captures").
+    # obj_mean_scales (tiny, consumed by the packed refine args) always ship.
+    ship_mean_points: bool = True
     repeat_threshold: float = 0.0  # DATALOADER.REPEAT_THRESHOLD
     # decoded-tensor cache (DATALOADER.CACHE_DECODED): "" = decode every
     # epoch (reference behavior); "ram" = memoize the host decode per record
@@ -351,7 +359,8 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
         "obj_pose_est": pose_est,
         "obj_scale_est": scale_est,
         "valid": valid,
-        "obj_mean_points": mean_points[classes],
+        **({"obj_mean_points": mean_points[classes]}
+           if cfg.ship_mean_points else {}),
         "obj_mean_scales": mean_scales[classes],
         "scene_im_id": record["scene_im_id"],
         "file_name": record.get("file_name", ""),
@@ -366,6 +375,20 @@ _SAMPLER_CACHE: dict = {}
 
 # once-per-process window-truncation warning (see _gather_image_record)
 _WINDOW_TRUNC_WARNED = False
+
+# Decoded-tensor caches shared ACROSS loader instances of the same dataset +
+# config (round-4: the e2e eval pipeline on a 1-CPU host spent ~half of a
+# warm pass re-decoding and re-uploading a cache an earlier loader instance
+# already built — docs/PERF.md "Round-4 TPU captures"). Keyed by the dataset
+# list identity + every cfg field `_gather_image_record`/`_build_device_cache`
+# depend on; the registry holds a strong ref to at most _DECODED_CACHE_MAX
+# entries (insertion-order eviction). The cache stores DECODED RECORD TENSORS
+# only — never RNG state — so positional-key determinism (resume contract) is
+# unaffected. In-place mutation of a dataset's annotations between loader
+# constructions would go stale here: disable with CATRE_SHARE_DECODED_CACHE=0
+# (the test-time est-injection tools build their dicts before any loader).
+_DECODED_CACHE_REGISTRY: dict = {}
+_DECODED_CACHE_MAX = 4
 
 
 def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
@@ -576,8 +599,51 @@ class CATRELoader:
                                  "pixel indices and image decode)")
         self._ram_cache: dict = {}
         self._dev = None
+        # positional image keys are pure functions of (seed, g): memoize at
+        # test time (bounded by the dataset size; reset_stream / repeated
+        # eval passes redraw the identical stream) — SeedSequence+PCG64
+        # construction is ~50 us/image of pure host serial work
+        self._key_memo: dict | None = {} if phase == "test" else None
+        shared = None
+        if self.cache_mode and os.environ.get(
+                "CATRE_SHARE_DECODED_CACHE", "1") != "0":
+            ck = self._decoded_cache_key()
+            shared = _DECODED_CACHE_REGISTRY.get(ck)
+            # the key leads with id(self.dicts): the entry pins the dicts
+            # list alive (strong ref) so the id cannot be recycled by a NEW
+            # dataset after GC — verify identity anyway, evict on mismatch
+            if shared is not None and shared["dicts"] is not self.dicts:
+                _DECODED_CACHE_REGISTRY.pop(ck, None)
+                shared = None
+            if shared is None:
+                while len(_DECODED_CACHE_REGISTRY) >= _DECODED_CACHE_MAX:
+                    _DECODED_CACHE_REGISTRY.pop(
+                        next(iter(_DECODED_CACHE_REGISTRY)))
+                shared = {"ram": {}, "dev": None, "keys": {},
+                          "dicts": self.dicts}
+                _DECODED_CACHE_REGISTRY[ck] = shared
+            self._ram_cache = shared["ram"]
+            if self._key_memo is not None:
+                self._key_memo = shared["keys"]
         if self.cache_mode == "device":
-            self._build_device_cache()
+            if shared is not None and shared["dev"] is not None:
+                self._dev, self._dev_row = shared["dev"]
+                self._cached_sampler = _make_cached_group_sampler(
+                    self.cfg, self._train_aug)
+            else:
+                self._build_device_cache()
+                if shared is not None:
+                    shared["dev"] = (self._dev, self._dev_row)
+
+    def _decoded_cache_key(self):
+        """Registry key: dataset identity + the cfg/phase fields the decoded
+        tensors depend on (see _gather_image_record and
+        _build_device_cache)."""
+        cfg = self.cfg
+        return (id(self.dicts), len(self.dicts), self.phase, self.cache_mode,
+                cfg.max_objs_per_image, cfg.sample_window, cfg.with_nocs,
+                cfg.pcl_with_color, cfg.change_bg_prob > 0,
+                cfg.ship_mean_points)
 
     # ---------------------------------------------------------------- RNG
     def _record_rng(self, g: int) -> np.random.Generator:
@@ -586,7 +652,15 @@ class CATRELoader:
     def _image_key(self, g: int) -> np.ndarray:
         """Raw (2,) uint32 PRNG key for image at global stream position g
         (host-built: jax.random.split round trips cost two device hops per
-        group on the relay)."""
+        group on the relay). Test-phase keys are memoized per (seed, g) —
+        same value, skips the SeedSequence construction on repeat passes."""
+        if self._key_memo is not None:
+            k = self._key_memo.get((self.seed, g))
+            if k is None:
+                k = _derive_rng(self.seed, _STREAM_KEYS, g).integers(
+                    0, 2 ** 32, size=2, dtype=np.uint32)
+                self._key_memo[(self.seed, g)] = k
+            return k
         return _derive_rng(self.seed, _STREAM_KEYS, g).integers(
             0, 2 ** 32, size=2, dtype=np.uint32)
 
@@ -666,7 +740,8 @@ class CATRELoader:
             data = dict(cached)
             # recomputed on hit: (M, 1024, 3) per record would triple the
             # cache footprint for an indexed view of a (6, 1024, 3) constant
-            data["obj_mean_points"] = self._mean_points[data["obj_cls"]]
+            if self.cfg.ship_mean_points:
+                data["obj_mean_points"] = self._mean_points[data["obj_cls"]]
             data["obj_mean_scales"] = self._mean_scales[data["obj_cls"]]
             return data
         data = _gather_image_record(
@@ -1007,7 +1082,9 @@ class CATRELoader:
         concatenated from per-image numpy slices."""
         keys = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "mug_handle",
                 "obj_bbox", "score", "obj_pose_est", "obj_scale_est", "valid",
-                "obj_mean_points", "obj_mean_scales"]
+                "obj_mean_scales"]
+        if "obj_mean_points" in images[0]:  # ship_mean_points=False drops it
+            keys = keys + ["obj_mean_points"]
         group_pcl = images[0].pop("_pcl_group", None)
         if group_pcl is not None:
             keys = [k for k in keys if k != "pcl"]

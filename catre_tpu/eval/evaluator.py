@@ -383,6 +383,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         else:
             # host numpy in, host numpy out (for mean_shape): put() then
             # ships every input in a single host->placement transfer
+            if "obj_mean_points" not in batch:
+                raise ValueError(
+                    "batch lacks obj_mean_points but the device kps-table "
+                    "path is inactive — build the loader with "
+                    "ship_mean_points=True for this kps_type/num_kps")
             obj_kps = select_kps(
                 kps_type, mean_points=batch["obj_mean_points"],
                 scale_est=batch["obj_scale_est"], num_kps=num_kps,

@@ -38,15 +38,23 @@ def main() -> None:
     loader._host_part(g0, d0, r0)
 
     objs = 0
+    per_record = []
     t0 = time.perf_counter()
     for g, didx, rec in itertools.islice(loader._train_records(), n_take):
+        t1 = time.perf_counter()
         part = loader._host_part(g, didx, rec)
+        per_record.append(time.perf_counter() - t1)
         objs += int(part["n_insts"])
     dt = time.perf_counter() - t0
 
+    # median per-record cost: robust to background-load spikes on the 1-CPU
+    # CI box (a concurrently-running TPU soak's host thread stole the CPU
+    # for a few records and flipped the wall-total ratio once)
+    per_record.sort()
+    med = per_record[len(per_record) // 2]
     with open(out_path, "w") as f:
         json.dump({"rank": rank, "world": world, "records": n_take,
-                   "objs": objs, "seconds": dt}, f)
+                   "objs": objs, "seconds": dt, "median_record_s": med}, f)
     print(f"rank {rank}/{world}: {objs} objs in {dt:.3f}s", flush=True)
 
 

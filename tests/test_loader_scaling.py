@@ -112,14 +112,16 @@ def test_rank_sharded_feeding_scales(rate_data_root, tmp_path):
     assert sum(r["objs"] for r in res2) == res1["objs"]
 
     # invariant 2: per-record host cost is rank/world-independent
-    per1 = res1["seconds"] / res1["records"]
+    # median per-record cost (not wall total): robust to background-load
+    # spikes stealing the single CI CPU mid-epoch
+    per1 = res1["median_record_s"]
     rates = []
     for r in res2:
-        per2 = r["seconds"] / r["records"]
+        per2 = r["median_record_s"]
         ratio = per2 / per1
         rates.append(r["objs"] / r["seconds"])
         assert ratio < 1.35, (
-            f"rank {r['rank']} per-record cost {per2 * 1e3:.2f} ms vs "
+            f"rank {r['rank']} median per-record cost {per2 * 1e3:.2f} ms vs "
             f"world-1 {per1 * 1e3:.2f} ms (ratio {ratio:.2f}) — rank "
             "striding must not add per-record work")
     # implied aggregate on independent feeder hosts (documentation output)
