@@ -192,9 +192,14 @@ def run_study(args):
               flush=True)
         generate_split(root, split="real_test", n_frames=args.frames,
                        n_objs=6, seed=123)
-    _DATASET_REGISTRY["nocs_spread_test"] = NOCSDataset(
-        "nocs_spread_test", image_root=root, use_cache=True)
-    dicts = _DATASET_REGISTRY["nocs_spread_test"]()
+    # name MUST contain "real"+"test": NOCSDataset derives split/"real_test"
+    # and REAL intrinsics from the name (data/nocs.py:50-59) — a name without
+    # "real" selects the CAMERA "val" split and silently builds 0 records.
+    _DATASET_REGISTRY["nocs_spread_real_test"] = NOCSDataset(
+        "nocs_spread_real_test", image_root=root, use_cache=True)
+    dicts = _DATASET_REGISTRY["nocs_spread_real_test"]()
+    if not dicts:
+        raise RuntimeError(f"synthetic split under {root} built 0 records")
     inject_fixed_init(dicts)
 
     lcfg = LoaderConfig(num_pcl=1024, max_objs_per_image=8, aug_depth=False,
@@ -257,6 +262,10 @@ def run_study(args):
         "frames": args.frames, "seeds": args.seeds,
         "ref_seeds": args.ref_seeds, "ckpt": args.ckpt or "random-init",
         "n_iters": args.n_iters, "iter0_max_ptp": iter0_spread,
+        # iter-0 scores the FIXED on-disk inits (~5 deg/1 cm/1% off gt) — a
+        # healthy scoring path shows high values here; all-zeros would mean
+        # broken scoring even though ptp == 0 still holds
+        "iter0": dict(runs_a[0][0]),
         "ours": ta,
     }
     if runs_b:
@@ -284,6 +293,8 @@ def run_study(args):
     with open(osp.join(args.out, "sampler_spread.md"), "w") as f:
         f.write(md + "\n")
     print(md, flush=True)
+    print("[spread] iter-0 (fixed init):",
+          {k: round(v, 2) for k, v in report["iter0"].items()}, flush=True)
     print(f"[spread] iter-0 invariance max ptp = {iter0_spread:g} "
           f"(must be 0)", flush=True)
     return report

@@ -44,5 +44,8 @@ cat "$OUT"/metrics_tab_iter4.txt
 
 if [[ -n "${CATRE_REF_SUMMARY_JSON:-}" ]]; then
   echo "== parity diff vs $CATRE_REF_SUMMARY_JSON (0.5 pt budget) =="
+  # Sampler RNG contributes ~0.15 pt noise at this split size (measured:
+  # docs/DATA.md "Sampler-randomness parity tolerance"; cross-sampler bias
+  # vs the imported reference crop_ball_from_pts ~0 — artifacts/spread_r4/).
   python -m catre_tpu.tools.repro_diff "$OUT" "$CATRE_REF_SUMMARY_JSON"
 fi
