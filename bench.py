@@ -198,15 +198,16 @@ def _probe_backend_subproc(timeout_s: float) -> bool:
         return False
 
 
-def _wait_for_backend() -> bool:
+def _wait_for_backend(deadline: float | None = None) -> bool:
     """Relay outages are transient (round 3 lost its end-of-round capture to
     one): retry subprocess probes with backoff for BENCH_BACKEND_RETRY_S
     (default 25 min) before declaring the backend unavailable. First probe
     passing -> proceed immediately (the common healthy path adds one ~2 s
     subprocess)."""
     probe_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180"))
-    window_s = float(os.environ.get("BENCH_BACKEND_RETRY_S", "1500"))
-    deadline = time.monotonic() + window_s
+    if deadline is None:
+        window_s = float(os.environ.get("BENCH_BACKEND_RETRY_S", "1500"))
+        deadline = time.monotonic() + window_s
     attempt = 0
     while True:
         attempt += 1
@@ -224,8 +225,23 @@ def _wait_for_backend() -> bool:
 
 
 def main():
-    if not _wait_for_backend() or not _probe_backend(
-            float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180"))):
+    # the in-process probe must pass too (the subprocess probe alone can't
+    # seed THIS process's backend); a relay flap between the two probes
+    # should spend the remaining retry window, not exit immediately
+    probe_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180"))
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_BACKEND_RETRY_S", "1500"))
+    ok = False
+    while _wait_for_backend(deadline):
+        if _probe_backend(probe_s):
+            ok = True
+            break
+        if time.monotonic() >= deadline:
+            break
+        print("bench: in-process probe failed after subprocess probe passed "
+              "(relay flap?) — re-entering retry window", file=sys.stderr)
+        time.sleep(5.0)
+    if not ok:
         print("bench: device backend unavailable (axon relay down?) — "
               "no metrics produced", file=sys.stderr)
         sys.exit(2)
@@ -263,8 +279,10 @@ def main():
         best = 0.0
         # keep the compile count low: remote compiles are slow in this image.
         # b=8192 amortizes the per-call dispatch overhead best: 6467 obj/s vs
-        # 6317 at b=4096 and 6046 at b=2048 (see docs/PERF.md)
-        batch_sizes = [8192]
+        # 6317 at b=4096 and 6046 at b=2048 (see docs/PERF.md).
+        # BENCH_BATCHES="1024,2048,..." sweeps operating points.
+        batch_sizes = [int(x) for x in
+                       os.environ.get("BENCH_BATCHES", "8192").split(",")]
         for b in batch_sizes:
             R = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
             t = np.tile(np.array([0, 0, 1.0], dtype=np.float32), (b, 1))

@@ -31,7 +31,14 @@ def main():
         models = assets.load_model_points(split)
         for inst, pts in models.items():
             idx = np.asarray(farthest_point_indices(jnp.asarray(pts), args.num_points))
-            out[inst] = pts[idx]
+            # reference-compatible nested layout (`data_loader.py:337-352`
+            # consumes `fps{N}_and_center` and drops the trailing center):
+            # N fps keypoints + the model centroid as the final row
+            out[inst] = {
+                f"fps{args.num_points}_and_center": np.concatenate(
+                    [pts[idx], pts.mean(axis=0, keepdims=True)], axis=0
+                ).astype(np.float32)
+            }
     with open(args.out, "wb") as f:
         pickle.dump(out, f)
     print(f"wrote {len(out)} instances x {args.num_points} fps points to {args.out}")

@@ -26,6 +26,15 @@ both σ and |Δmean| are ≪ 0.5 pt.
     python -m catre_tpu.tools.sampler_spread --out DIR [--data-root DIR]
         [--frames 160] [--seeds 8] [--ref-seeds 4] [--ckpt ORBAX_DIR]
         [--n-iters 4] [--platform cpu|tpu]
+
+DTYPE study (`--dtype-arms f32,bf16_fused,bf16_unfused`): measures the
+bf16-compute term of the same parity budget (VERDICT r4 weak #2 — the
+production `_tpu` config evaluates in bf16 while the checkpoint-parity
+goldens are f32). The arms share the SAME loader seeds, so the sampled
+clouds are bit-identical across arms and the per-seed metric deltas isolate
+the compute-dtype effect; the report adds |Δmean| and max per-seed |Δ| of
+every arm vs the first (reference) arm. Arm-B (reference sampler) is
+skipped in this mode.
 """
 
 from __future__ import annotations
@@ -173,6 +182,87 @@ def _load_params(ckpt_path, model, mcfg):
         raise
 
 
+def run_dtype_study(args, dicts, lcfg, params, one_run):
+    """bf16 parity term of the 0.5-pt budget (VERDICT r4 weak #2): same
+    loader seeds per arm -> identical sampled clouds -> per-seed metric
+    deltas isolate the compute dtype / kernel-fusion effect."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..data.loader import CATRELoader
+    from ..engine.refiner import make_refine_fn
+    from ..models import CATREConfig, CATREDisRShared
+
+    arm_specs = {
+        "f32": (jnp.float32, False),
+        "bf16_unfused": (jnp.bfloat16, False),
+        "bf16_fused": (jnp.bfloat16, True),
+    }
+    arms = [a.strip() for a in args.dtype_arms.split(",") if a.strip()]
+    for a in arms:
+        if a not in arm_specs:
+            raise ValueError(f"unknown dtype arm {a!r} (choices: {list(arm_specs)})")
+
+    runs = {}
+    for arm in arms:
+        dtype, fused = arm_specs[arm]
+        mcfg = CATREConfig(num_pcl=args.num_pcl, dtype=dtype, fused_heads=fused)
+        model = CATREDisRShared(mcfg)
+        refine = make_refine_fn(model, mcfg, n_iter=args.n_iters)
+        runs[arm] = []
+        for s in range(args.seeds):
+            loader = CATRELoader(dicts, lcfg, phase="test",
+                                 ims_per_batch=args.ims_per_batch,
+                                 seed=s, num_workers=4)
+            runs[arm].append(one_run(loader, f"{arm} seed={s}",
+                                     refine_fn=refine))
+
+    last = args.n_iters
+    keys = list(runs[arms[0]][0][last].keys())
+    base = arms[0]
+
+    def stats(arm):
+        vals = {k: np.array([r[last][k] for r in runs[arm]]) for k in keys}
+        return {k: {"mean": float(v.mean()),
+                    "std": float(v.std(ddof=1)) if len(v) > 1 else 0.0}
+                for k, v in vals.items()}
+
+    report = {"mode": "dtype", "frames": args.frames, "seeds": args.seeds,
+              "ckpt": args.ckpt or "random-init", "n_iters": args.n_iters,
+              "arms": {a: stats(a) for a in arms}}
+    for arm in arms[1:]:
+        deltas = {k: np.array([runs[arm][s][last][k] - runs[base][s][last][k]
+                               for s in range(args.seeds)]) for k in keys}
+        report[f"delta_{arm}_vs_{base}"] = {
+            k: {"dmean": float(d.mean()), "abs_dmean": float(abs(d.mean())),
+                "max_abs": float(np.abs(d).max())}
+            for k, d in deltas.items()}
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(osp.join(args.out, "dtype_spread.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+    hdr = "| metric | " + " | ".join(
+        f"{a} mean±σ" for a in arms) + " | " + " | ".join(
+        f"\\|Δ\\| {a} vs {base}" for a in arms[1:]) + " |"
+    lines = [hdr, "|---|" + "---|" * (len(arms) + len(arms) - 1)]
+    for k in keys:
+        row = [k]
+        for a in arms:
+            s = report["arms"][a][k]
+            row.append(f"{s['mean']:.2f} ± {s['std']:.3f}")
+        for a in arms[1:]:
+            d = report[f"delta_{a}_vs_{base}"][k]
+            row.append(f"{d['abs_dmean']:.3f} (max {d['max_abs']:.3f})")
+        lines.append("| " + " | ".join(row) + " |")
+    md = "\n".join(lines)
+    with open(osp.join(args.out, "dtype_spread.md"), "w") as f:
+        f.write(md + "\n")
+    print(md, flush=True)
+    return report
+
+
 def run_study(args):
     import numpy as np
 
@@ -202,27 +292,31 @@ def run_study(args):
         raise RuntimeError(f"synthetic split under {root} built 0 records")
     inject_fixed_init(dicts)
 
-    lcfg = LoaderConfig(num_pcl=1024, max_objs_per_image=8, aug_depth=False,
+    lcfg = LoaderConfig(num_pcl=args.num_pcl, max_objs_per_image=8, aug_depth=False,
                         init_pose_type_test="est", bbox_type_test="est",
                         cache_decoded="ram")
     import jax
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    mcfg = CATREConfig(num_pcl=1024,
+    mcfg = CATREConfig(num_pcl=args.num_pcl,
                        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                        fused_heads=on_tpu)
     model = CATREDisRShared(mcfg)
     params = _load_params(args.ckpt, model, mcfg)
     refine = make_refine_fn(model, mcfg, n_iter=args.n_iters)
 
-    def one_run(loader, tag):
+    def one_run(loader, tag, refine_fn=None, run_params=None):
         ev = CATREEvaluator(dicts, n_iters=args.n_iters, output_dir=None)
         t0 = time.perf_counter()
-        run_inference(refine, params, iter(loader), ev, n_iters=args.n_iters,
+        run_inference(refine_fn or refine, run_params if run_params is not None
+                      else params, iter(loader), ev, n_iters=args.n_iters,
                       warmup=0, compute_probe_every=0)
         res = ev.evaluate(dump=False)
         print(f"[spread] {tag}: {time.perf_counter() - t0:.1f}s", flush=True)
         return {i: r["summary"] for i, r in res.items()}
+
+    if getattr(args, "dtype_arms", ""):
+        return run_dtype_study(args, dicts, lcfg, params, one_run)
 
     runs_a = []
     for s in range(args.seeds):
@@ -310,7 +404,12 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt", default="")
     p.add_argument("--n-iters", type=int, default=4)
     p.add_argument("--ims-per-batch", type=int, default=16)
+    p.add_argument("--num-pcl", type=int, default=1024,
+                   help="cloud/kps size (production 1024; small for smokes)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument("--dtype-arms", default="", help=(
+        "comma list of f32,bf16_unfused,bf16_fused — switches to the dtype "
+        "study (same seeds per arm; reports per-metric deltas vs the first)"))
     args = p.parse_args(argv)
     if not args.data_root:
         args.data_root = osp.join(args.out, "data")

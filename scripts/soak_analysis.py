@@ -84,8 +84,13 @@ def eval_trend(logs):
                 if i == 0 and cur:
                     blocks.append(cur)
                     cur = {}
-                d = ast.literal_eval(
-                    m.group(3).replace("np.float64(", "").replace(")", ""))
+                try:
+                    d = ast.literal_eval(
+                        re.sub(r"np\.float64\(([^)]*)\)", r"\1", m.group(3)))
+                except (ValueError, SyntaxError):
+                    # nan/inf or stray parens literal_eval can't parse —
+                    # skip the line instead of killing the whole analysis
+                    continue
                 cur[i] = (m.group(1), d)
         if cur:
             blocks.append(cur)
