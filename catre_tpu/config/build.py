@@ -202,6 +202,16 @@ def _mean_table_matches(num_kps: int) -> bool:
 
 def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
     inp = cfg.INPUT
+    kps_type = str(inp.get("KPS_TYPE", "mean_shape"))
+    num_kps = int(inp.get("NUM_KPS", 1024))
+    use_cmra_model = bool(inp.get("USE_CMRA_MODEL", True))
+    # USE_CMRA_MODEL on a cmra split ships PER-INSTANCE priors — the
+    # category-mean device table would be wrong, so the loader must keep
+    # shipping obj_mean_points and run_inference must skip the table
+    names = (tuple(cfg.DATASETS.get("TEST", ())) if phase == "test" else
+             tuple(cfg.DATASETS.get("TRAIN", ()))
+             + tuple(cfg.DATASETS.get("TRAIN2", ())))
+    cmra_prior = use_cmra_model and any("cmra" in str(n) for n in names)
     return LoaderConfig(
         num_pcl=int(inp.NUM_PCL),
         depth_sample_ball_ratio=float(inp.get("DEPTH_SAMPLE_BALL_RATIO", 0.5)),
@@ -232,13 +242,20 @@ def loader_config_from(cfg, phase: str = "train") -> LoaderConfig:
             inp.get("INIT_POSE_TRAIN_PATH", "")
             if "last_frame" in tuple(inp.get("INIT_POSE_TYPE_TRAIN", ())) else ""
         ),
+        kps_type=kps_type,
+        num_kps=num_kps,
+        use_cmra_model=use_cmra_model,
+        color_aug_syn_only=bool(inp.get("COLOR_AUG_SYN_ONLY", False)),
         # the device-resident kps-table path (run_inference) replaces the
         # per-batch (B, K, 3) mean-points payload at test time; train keeps
-        # shipping them (select_kps in _batch_to_device consumes them)
-        ship_mean_points=not (
-            phase == "test"
-            and str(inp.get("KPS_TYPE", "mean_shape")).lower() == "mean_shape"
-            and _mean_table_matches(int(inp.get("NUM_KPS", 1024)))),
+        # shipping them (select_kps in _batch_to_device consumes them).
+        # fps kps never read mean points; cmra per-instance priors must ship
+        ship_mean_points=(
+            False if kps_type.lower() == "fps" else
+            not (phase == "test"
+                 and kps_type.lower() == "mean_shape"
+                 and not cmra_prior
+                 and _mean_table_matches(int(inp.get("NUM_KPS", 1024))))),
         bbox_type_test=inp.get("BBOX_TYPE_TEST", "est"),
         init_pose_type_test=inp.get("INIT_POSE_TYPE_TEST", "est"),
         noise_rot_std_test=float(inp.get("NOISE_ROT_STD_TEST", 15)),

@@ -46,6 +46,15 @@ INPUT = dict(
     RANDOM_SCALE_MIN=[0.04, 0.04, 0.04],
     RANDOM_SCALE_MAX=[0.5, 0.3, 0.4],
     MEAN_MODEL_PATH="datasets/NOCS/obj_models/cr_normed_mean_model_points_spd.pkl",
+    # per-instance model points as the prior on cmra (CAMERA) records
+    # (ref `catre_base.py:70`, consumed `data_loader.py:633-637`)
+    USE_CMRA_MODEL=True,
+    # ship dataset depth backprojected to XYZ (ref `common_base.py:33`).
+    # Metric-neutral for the CATRE path BY CONSTRUCTION: the instance
+    # sampler backprojects from depth[..., -1] either way
+    # (`data_loader.py:576,773` take the last channel, which is the raw
+    # depth both with and without BP_DEPTH) — accepted, no behavior change
+    BP_DEPTH=False,
     KPS_TYPE="bbox",  # bbox | mean_shape | fps | axis
     WITH_NEG_AXIS=False,
     BBOX3D_AUG_PROB=0.0,
@@ -60,6 +69,10 @@ INPUT = dict(
     # color / background aug for the RGB point path (ref common_base.py:41,
     # base_data_loader color+bg augmentors; off in the shipped recipe)
     COLOR_AUG_PROB=0.0,
+    # restrict color aug to synthetic images (ref `common_base.py:44`; the
+    # reference gate itself is a no-op bug — data_loader.py:501-504 branches
+    # identically; implemented here with the intended semantics)
+    COLOR_AUG_SYN_ONLY=False,
     COLOR_AUG_TYPE="aae",  # roi10d | aae | code (ref common_base.py:42)
     COLOR_AUG_CODE="",     # chain string for COLOR_AUG_TYPE="code"
     CHANGE_BG_PROB=0.0,
@@ -78,6 +91,10 @@ DATALOADER = dict(
     # ref `common_base.py:107-110`
     SAMPLER_TRAIN="TrainingSampler",  # TrainingSampler | RepeatFactorTrainingSampler
     REPEAT_THRESHOLD=0.0,
+    # drop test images with no detections from inference (ref default True,
+    # `common_base.py:115`, applied `data_loader.py:960-961`); the evaluator
+    # gt set is built from the unfiltered dicts either way
+    FILTER_EMPTY_DETS=True,
     # decoded-tensor cache: "" (decode every epoch, reference behavior),
     # "ram" (memoize host decode, ~1 MB/frame), or "device" (keep the decoded
     # dataset resident in HBM — steady-state training ships only PRNG keys +

@@ -62,7 +62,31 @@ def load_mug_handle(path: str = meta.MUG_HANDLE_PATH) -> dict:
 
 @lru_cache(maxsize=None)
 def load_fps_points(path: str = meta.FPS_POINTS_PATH) -> dict:
+    """Raw fps-keypoint pickle. Two formats are accepted:
+      - reference: inst -> {f"fps{N}_and_center": (N+1, 3)} (consumed
+        `data_loader.py:337-352`, produced by the authors' sampling tool)
+      - flat: inst -> (N, 3) (produced by `tools/fps_sample.py`)
+    Use `get_fps_points` for a normalized per-instance view."""
     if not osp.exists(path):
         raise FileNotFoundError(path)
-    d = _load_pickle(path)
-    return {k: np.asarray(v, dtype=np.float32) for k, v in d.items()}
+    return _load_pickle(path)
+
+
+def get_fps_points(inst_name: str, num_kps: int, with_center: bool = False,
+                   path: str = meta.FPS_POINTS_PATH) -> np.ndarray:
+    """(num_kps[+1], 3) fps keypoints for one instance — the reference's
+    `CATRE_DatasetFromList._get_fps_points` (`data_loader.py:337-352`: selects
+    the `fps{NUM_KPS}_and_center` entry and drops the trailing center row
+    unless with_center)."""
+    entry = load_fps_points(path)[inst_name]
+    if isinstance(entry, dict):  # reference nested format
+        arr = np.asarray(entry[f"fps{num_kps}_and_center"], dtype=np.float32)
+        return arr if with_center else arr[:-1]
+    arr = np.asarray(entry, dtype=np.float32)  # flat (N, 3)
+    n = num_kps + 1 if with_center else num_kps
+    if arr.shape[0] < n:
+        raise ValueError(
+            f"fps pickle entry {inst_name!r} has {arr.shape[0]} points; "
+            f"{n} requested (INPUT.NUM_KPS) — regenerate with "
+            f"tools/fps_sample.py --num-points {num_kps}")
+    return arr[:n]

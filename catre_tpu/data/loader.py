@@ -68,9 +68,25 @@ class LoaderConfig:
     add_noise_depth_prob: float = 0.9
     add_noise_depth_level: float = 0.01  # reference default (common_base.py:38)
     occlude_mask_test: bool = False
+    # INPUT.KPS_TYPE: "fps" makes the loader ship per-instance
+    # `obj_fps_points` looked up by inst_name (ref `data_loader.py:623-650`
+    # train / `:737-752` test — the "use gt model at test" ablation);
+    # other types ship nothing extra (kps built downstream)
+    kps_type: str = "mean_shape"
+    num_kps: int = 1024  # INPUT.NUM_KPS (fps pickle key / axis-kps count)
+    # INPUT.USE_CMRA_MODEL (ref default True, `catre_base.py:70`): on cmra
+    # (CAMERA) records the prior points are the PER-INSTANCE model points
+    # from MEAN_MODEL_PATH instead of the category mean shape
+    # (`data_loader.py:633-637`)
+    use_cmra_model: bool = True
     with_nocs: bool = False  # sample aligned NOCS coords (nocs-head variants)
     pcl_with_color: bool = False  # sample aligned RGB (INPUT.PCL_WITH_COLOR)
     color_aug_prob: float = 0.0   # INPUT.COLOR_AUG_PROB (train, RGB path)
+    # INPUT.COLOR_AUG_SYN_ONLY: restrict color aug to synthetic images.
+    # NOTE the reference's gate is a NO-OP BUG — both branches of
+    # `data_loader.py:501-504` apply the identical augmentation; implemented
+    # here with the INTENDED semantics (real images skipped when set)
+    color_aug_syn_only: bool = False
     color_aug_type: str = "aae"   # INPUT.COLOR_AUG_TYPE (roi10d|aae|code)
     color_aug_code: str = ""      # INPUT.COLOR_AUG_CODE (for type "code")
     change_bg_prob: float = 0.0   # INPUT.CHANGE_BG_PROB (train, RGB path)
@@ -304,6 +320,15 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
     mask_bbox[:, 0], mask_bbox[:, 1] = h, -1
     mask_bbox[:, 2], mask_bbox[:, 3] = w, -1
 
+    ship_fps = cfg.kps_type.lower() == "fps"
+    fps_pts = np.zeros((m, cfg.num_kps, 3), dtype=np.float32) if ship_fps else None
+    # INPUT.USE_CMRA_MODEL: per-instance model points replace the category
+    # mean shape as the prior on cmra records (`data_loader.py:633-637`
+    # train; the test twin `:743-744` reads `inst_name` BEFORE its only
+    # assignment `:751` — a latent reference NameError; the intended
+    # per-instance lookup is implemented here for both phases)
+    inst_prior = cfg.use_cmra_model and "cmra" in record.get("dataset_name", "")
+
     for i, anno in enumerate(annos):
         classes[i] = anno["category_id"]
         handles[i] = anno.get("mug_handle", 1)
@@ -325,6 +350,13 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
         bb = anno.get("bbox_est", anno.get("bbox"))
         if bb is not None:
             bboxes[i] = bb
+        if ship_fps:
+            if "inst_name" not in anno:
+                raise KeyError(
+                    f"INPUT.KPS_TYPE='fps' needs per-instance 'inst_name' in "
+                    f"every annotation (the reference's gt-model ablation, "
+                    f"data_loader.py:751) — missing on {record.get('scene_im_id')}")
+            fps_pts[i] = assets.get_fps_points(anno["inst_name"], cfg.num_kps)
         if _wants_mask_bbox(cfg, phase):
             rows = masks[i].any(axis=1)
             if rows.any():
@@ -343,6 +375,31 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
                             cfg.sample_window, rnz[-1] - rnz[0] + 1,
                             cnz[-1] - cnz[0] + 1, record.get("scene_im_id"))
 
+    mp = None
+    if cfg.ship_mean_points or inst_prior:
+        mp = mean_points[classes]  # fancy-index copy: safe to overwrite rows
+        if inst_prior:
+            shapes = assets.load_mean_shapes()
+            for i, anno in enumerate(annos):
+                pts = shapes.get(anno.get("inst_name", ""))
+                if pts is None:
+                    # graceful degradation (the reference would KeyError):
+                    # keep the category mean when the instance has no entry
+                    global _CMRA_FALLBACK_WARNED
+                    if not _CMRA_FALLBACK_WARNED:
+                        _CMRA_FALLBACK_WARNED = True
+                        logger.warning(
+                            "USE_CMRA_MODEL: no per-instance model points for "
+                            "%r in MEAN_MODEL_PATH — falling back to the "
+                            "category mean shape", anno.get("inst_name"))
+                elif pts.shape != mp[i].shape:
+                    raise ValueError(
+                        f"USE_CMRA_MODEL: model points for "
+                        f"{anno.get('inst_name')!r} have shape {pts.shape}, "
+                        f"expected {mp[i].shape}")
+                else:
+                    mp[i] = pts
+
     return {
         "depth_ship": _quantize_depth(depth),
         "masks_packed": _pack_masks(masks),
@@ -359,8 +416,9 @@ def _gather_image_record(record: dict, cfg: LoaderConfig, phase: str,
         "obj_pose_est": pose_est,
         "obj_scale_est": scale_est,
         "valid": valid,
-        **({"obj_mean_points": mean_points[classes]}
-           if cfg.ship_mean_points else {}),
+        **({"obj_mean_points": mp} if mp is not None else {}),
+        **({"obj_fps_points": fps_pts} if ship_fps else {}),
+        **({"cmra_prior": True} if inst_prior else {}),
         "obj_mean_scales": mean_scales[classes],
         "scene_im_id": record["scene_im_id"],
         "file_name": record.get("file_name", ""),
@@ -376,6 +434,9 @@ _SAMPLER_CACHE: dict = {}
 # once-per-process window-truncation warning (see _gather_image_record)
 _WINDOW_TRUNC_WARNED = False
 
+# once-per-process USE_CMRA_MODEL missing-instance fallback warning
+_CMRA_FALLBACK_WARNED = False
+
 # Decoded-tensor caches shared ACROSS loader instances of the same dataset +
 # config (round-4: the e2e eval pipeline on a 1-CPU host spent ~half of a
 # warm pass re-decoding and re-uploading a cache an earlier loader instance
@@ -389,6 +450,15 @@ _WINDOW_TRUNC_WARNED = False
 # (the test-time est-injection tools build their dicts before any loader).
 _DECODED_CACHE_REGISTRY: dict = {}
 _DECODED_CACHE_MAX = 4
+
+
+def clear_decoded_caches() -> None:
+    """Drop every registry entry (and its pinned dataset dicts / HBM stacks —
+    freed once no live loader still references them). Insertion-order
+    eviction only runs on new inserts, so tools that sweep many datasets or
+    configs in one process should call this between sweeps to release the
+    multi-GB device-cache stacks eagerly."""
+    _DECODED_CACHE_REGISTRY.clear()
 
 
 def _sampler_cache_key(cfg: LoaderConfig, kind: str, train_aug: bool):
@@ -625,6 +695,10 @@ class CATRELoader:
             self._ram_cache = shared["ram"]
             if self._key_memo is not None:
                 self._key_memo = shared["keys"]
+        # frozen-eval plans (see _frozen_eligible), shared across loader
+        # instances of the same dataset+config like the decoded caches
+        self._plan_store = (shared.setdefault("plans", {})
+                            if shared is not None else {})
         if self.cache_mode == "device":
             if shared is not None and shared["dev"] is not None:
                 self._dev, self._dev_row = shared["dev"]
@@ -637,13 +711,20 @@ class CATRELoader:
 
     def _decoded_cache_key(self):
         """Registry key: dataset identity + the cfg/phase fields the decoded
-        tensors depend on (see _gather_image_record and
-        _build_device_cache)."""
+        tensors depend on (see _gather_image_record and _build_device_cache).
+        `_wants_mask_bbox` is part of the key because it decides whether the
+        cached mask_bbox rows are real bounds or the empty sentinel — two
+        loaders differing only in fps_sample / train aug_depth / the
+        CATRE_DISABLE_FUSED_WINDOW env toggle must not share an entry (a
+        fused-window loader adopting sentinel bounds would silently treat
+        every instance as empty)."""
         cfg = self.cfg
         return (id(self.dicts), len(self.dicts), self.phase, self.cache_mode,
                 cfg.max_objs_per_image, cfg.sample_window, cfg.with_nocs,
                 cfg.pcl_with_color, cfg.change_bg_prob > 0,
-                cfg.ship_mean_points)
+                cfg.ship_mean_points, _wants_mask_bbox(cfg, self.phase),
+                cfg.kps_type.lower() == "fps", cfg.num_kps,
+                cfg.use_cmra_model)
 
     # ---------------------------------------------------------------- RNG
     def _record_rng(self, g: int) -> np.random.Generator:
@@ -739,8 +820,10 @@ class CATRELoader:
                 return None
             data = dict(cached)
             # recomputed on hit: (M, 1024, 3) per record would triple the
-            # cache footprint for an indexed view of a (6, 1024, 3) constant
-            if self.cfg.ship_mean_points:
+            # cache footprint for an indexed view of a (6, 1024, 3) constant.
+            # cmra per-instance priors are NOT an indexed view — they stay
+            # stored in the entry (see _host_part's store path)
+            if self.cfg.ship_mean_points and "obj_mean_points" not in data:
                 data["obj_mean_points"] = self._mean_points[data["obj_cls"]]
             data["obj_mean_scales"] = self._mean_scales[data["obj_cls"]]
             return data
@@ -752,8 +835,9 @@ class CATRELoader:
             if data is None:
                 self._ram_cache[didx] = None
             else:
-                stripped = {k: v for k, v in data.items()
-                            if k not in ("obj_mean_points", "obj_mean_scales")}
+                strip = ("obj_mean_scales",) if data.get("cmra_prior") else (
+                    "obj_mean_points", "obj_mean_scales")
+                stripped = {k: v for k, v in data.items() if k not in strip}
                 self._ram_cache[didx] = stripped
                 data = dict(data)
         return data
@@ -1057,7 +1141,12 @@ class CATRELoader:
                             bg_type=self.cfg.bg_type,
                             num_bg_imgs=self.cfg.num_bg_imgs,
                             keep_aspect=self.cfg.bg_keep_aspect_ratio)
+                    # COLOR_AUG_SYN_ONLY: skip real images (intended
+                    # semantics; the reference gate is a no-op bug — both
+                    # branches of data_loader.py:501-504 are identical)
                     if (self.cfg.color_aug_prob > 0
+                            and not (self.cfg.color_aug_syn_only
+                                     and record.get("img_type", "real") == "real")
                             and rng.random() < self.cfg.color_aug_prob):
                         rgb = color_augment(rng, np.ascontiguousarray(rgb),
                                             augmentor=self._color_augmentor)
@@ -1075,18 +1164,22 @@ class CATRELoader:
             data["last_frame_poses"] = lf
         return data
 
-    def _flatten(self, images: list) -> dict:
+    def _flatten(self, images: list, defer_pcl: bool = False) -> dict:
         """Concatenate per-image padded instance arrays into one object batch.
         In device_batches mode the cloud never touched the host: the group's
         stacked (pad, M, P, 3) device array is reshaped on device instead of
-        concatenated from per-image numpy slices."""
+        concatenated from per-image numpy slices. defer_pcl=True builds the
+        HOST side only (the frozen-eval plan attaches a fresh device pcl per
+        pass, see _frozen_test_iter)."""
         keys = ["pcl", "obj_cls", "obj_pose", "obj_scale", "sym_flag", "mug_handle",
                 "obj_bbox", "score", "obj_pose_est", "obj_scale_est", "valid",
                 "obj_mean_scales"]
         if "obj_mean_points" in images[0]:  # ship_mean_points=False drops it
             keys = keys + ["obj_mean_points"]
+        if "obj_fps_points" in images[0]:  # KPS_TYPE="fps" only
+            keys = keys + ["obj_fps_points"]
         group_pcl = images[0].pop("_pcl_group", None)
-        if group_pcl is not None:
+        if group_pcl is not None or defer_pcl:
             keys = [k for k in keys if k != "pcl"]
         if self._last_frame is not None:
             keys = keys + ["last_frame_poses"]
@@ -1110,6 +1203,92 @@ class CATRELoader:
         batch["file_names"] = [im.get("file_name", "") for im in images]
         return batch
 
+    # -------------------------------------------------- frozen eval batches
+    def _frozen_eligible(self) -> bool:
+        """The device-cache + device-batches test path is fully deterministic
+        per pass: group composition, every host-side batch field, and the
+        cache rows depend only on (dicts, cfg); the PRNG keys only on
+        (seed, position). The whole host side can therefore be built ONCE and
+        replayed — steady-state host work per group drops to one sampler
+        dispatch + a shallow dict copy (VERDICT r4 #1: pre-packed flush
+        groups). Batches share numpy arrays across passes: consumers must
+        treat them read-only (run_inference/evaluator do)."""
+        return (self.phase == "test" and self._dev is not None
+                and self.device_batches and self._last_frame is None
+                and self._pos == 0
+                and not os.environ.get("CATRE_DISABLE_FROZEN_EVAL"))
+
+    def _freeze_group(self, items: list) -> dict:
+        ims = self.ims_per_batch
+        rows = np.asarray([self._dev_row[didx] for _, didx, _ in items], np.int32)
+        if len(items) < ims:
+            rows = np.concatenate([rows, np.repeat(rows[:1], ims - len(items))])
+        images = []
+        for g, didx, data in items:
+            data = dict(data, pcl=None, pcl_idx=None, n_inside=None)
+            images.append(self._post_device(g, self.dicts[didx], data))
+        while len(images) < ims:  # padded tail group (valid=False rows)
+            pad_im = dict(images[0])
+            pad_im["valid"] = np.zeros_like(images[0]["valid"])
+            pad_im["scene_im_id"] = None
+            images.append(pad_im)
+        return {"gs": [g for g, _, _ in items], "rows": rows, "keys": {},
+                "host": self._flatten(images, defer_pcl=True), "memo": {}}
+
+    def _frozen_plan(self) -> list:
+        store = self._plan_store
+        plan = store.get(self.ims_per_batch)
+        if plan is not None:
+            return plan
+        plan, pending = [], []
+        for g, didx, rec in self._test_records():
+            data = self._host_part(g, didx, rec)
+            if data is None:
+                continue
+            pending.append((g, didx, data))
+            if len(pending) == self.ims_per_batch:
+                plan.append(self._freeze_group(pending))
+                pending = []
+        if pending:
+            plan.append(self._freeze_group(pending))
+        store[self.ims_per_batch] = plan
+        return plan
+
+    def _frozen_keys(self, grp: dict) -> np.ndarray:
+        keys = grp["keys"].get(self.seed)
+        if keys is None:
+            keys = np.stack([self._image_key(g) for g in grp["gs"]])
+            if keys.shape[0] < self.ims_per_batch:
+                keys = np.concatenate([keys, np.repeat(
+                    keys[:1], self.ims_per_batch - keys.shape[0], axis=0)])
+            grp["keys"][self.seed] = keys
+        return keys
+
+    def _frozen_test_iter(self):
+        plan = self._frozen_plan()
+        d = self._dev
+        m = self.cfg.max_objs_per_image
+
+        def emit(handle):
+            grp, (pcls, _idx, _n) = handle
+            batch = dict(grp["host"])
+            batch["pcl"] = pcls.reshape(self.ims_per_batch * m, pcls.shape[2], 3)
+            batch["_host_memo"] = grp["memo"]  # run_inference packed28 cache
+            return batch
+
+        handle = None
+        for grp in plan:
+            outs = self._cached_sampler(
+                d["depth"], d["packed"], d["K"], d["pose"], d["scale"],
+                d["mask_bbox"], self._frozen_keys(grp), grp["rows"])
+            new = (grp, outs)
+            if handle is not None:
+                yield emit(handle)
+            handle = new
+        if handle is not None:
+            yield emit(handle)
+        self._pos = len(self.dicts)
+
     def __iter__(self):
         # double-buffered device stage: group k's sampler runs on-device while
         # group k+1 decodes on host; exactly one group of latency
@@ -1122,6 +1301,9 @@ class CATRELoader:
                 yield self._flatten(val)  # only "group" occurs (no empties)
         else:
             if self._dev is not None:
+                if self._frozen_eligible():
+                    yield from self._frozen_test_iter()
+                    return
                 for group in self._cached_groups(self._test_records()):
                     while len(group) < self.ims_per_batch:
                         pad_im = dict(group[0])

@@ -144,6 +144,18 @@ def _batch_to_device(batch: dict, max_objs: int | None = None,
             "obj_mean_points", "obj_mean_scales", "K"]
     if "last_frame_poses" in batch:
         keep = keep + ["last_frame_poses"]
+    if kps_type.lower() == "fps":
+        if "obj_fps_points" not in batch:
+            raise ValueError(
+                "INPUT.KPS_TYPE='fps' but the batch carries no "
+                "obj_fps_points — the loader ships them only when its "
+                "LoaderConfig.kps_type is 'fps' (wired by "
+                "config.build.loader_config_from)")
+        keep = keep + ["obj_fps_points"]
+        # mean points are unused by the fps kps path; the loader may not
+        # ship them at all
+        keep = [k for k in keep if k != "obj_mean_points"
+                or "obj_mean_points" in batch]
     if max_objs is not None and batch["pcl"].shape[0] > max_objs:
         # no-silent-caps: the static slice may drop VALID instances (always
         # the trailing images' ones) when the flattened batch exceeds the cap
@@ -162,8 +174,13 @@ def _batch_to_device(batch: dict, max_objs: int | None = None,
             # `batching.py:66-69`) — static slice keeps shapes jit-stable
             v = v[:max_objs]
         out[k] = conv(v)
+    if kps_type.lower() == "fps":
+        # obj_kps for fps are normalized INSIDE the train step by the
+        # iteration-1 scale estimate (see make_train_step), matching the
+        # reference's cache-on-first-batch_updater-call semantics
+        return out
     out["obj_kps"] = select_kps(
-        kps_type, mean_points=out["obj_mean_points"], scale_est=out["obj_scale"],
+        kps_type, mean_points=out.get("obj_mean_points"), scale_est=out["obj_scale"],
         num_kps=num_kps, with_neg_axis=with_neg_axis,
     )
     if not to_device:
@@ -474,6 +491,18 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
         n_iter = int(cfg.MODEL.CATRE.N_ITER_TEST)
         evaluator = CATREEvaluator(dicts, n_iters=n_iter, output_dir=output_dir)
 
+        # DATALOADER.FILTER_EMPTY_DETS (ref default True, common_base.py:115;
+        # applied `data_loader.py:960-961`): drop test images with no
+        # detections from INFERENCE only — the evaluator keeps the full gt
+        # set (built above from the unfiltered dicts, like the reference's
+        # DatasetCatalog gts) and scores missing images with empty preds
+        if cfg.DATALOADER.get("FILTER_EMPTY_DETS", True):
+            n_before = len(dicts)
+            dicts = [r for r in dicts if r.get("annotations")]
+            if len(dicts) < n_before:
+                logger.info("FILTER_EMPTY_DETS: %d/%d images dropped",
+                            n_before - len(dicts), n_before)
+
         if cfg.VAL.get("EVAL_CACHED", False) or cfg.VAL.get("EVAL_PRINT_ONLY", False):
             # re-score cached predictions without running the model
             # (`catre_custom_evaluator.py:74-79,226-235`)
@@ -537,6 +566,10 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
             kps_type=cfg.INPUT.get("KPS_TYPE", "mean_shape"),
             num_kps=int(cfg.INPUT.get("NUM_KPS", 1024)),
             mesh=mesh,
+            # cmra + USE_CMRA_MODEL: the loader ships per-instance priors;
+            # the category-mean device table would silently override them
+            use_mean_table=not (bool(cfg.INPUT.get("USE_CMRA_MODEL", True))
+                                and "cmra" in dset_name),
         )
         if cfg.TEST.get("VIS", False):
             # collective gather so the vis/results paths see ALL processes'

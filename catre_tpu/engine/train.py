@@ -204,6 +204,14 @@ def make_train_step(model: CATREDisRShared, cfg: CATREConfig, loss_cfg: LossConf
             # REFINE_SCLAE=False: the scale estimate is the (unperturbed) gt
             # and stays fixed (`batch_updater`, batching.py:118-121)
             batch["obj_scale_est"] = batch["obj_scale"]
+        if "obj_fps_points" in batch:
+            # KPS_TYPE="fps": kps are the instance fps points normalized ONCE
+            # per batch by the ITERATION-1 scale estimate (batch_updater
+            # caches obj_kps on its first call, `batching.py:125-126`;
+            # `engine_utils.norm_fps_points`) — so the normalization must
+            # happen here, after the init-scale draw / REFINE_SCLAE override
+            batch["obj_kps"] = (batch["obj_fps_points"]
+                                / batch["obj_scale_est"][:, None, :])
         opt_state = _set_lr(state.opt_state, lr)
 
         def body(carry, _):

