@@ -39,8 +39,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 G = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+WS = int(sys.argv[3]) if len(sys.argv) > 3 else 128  # ball-crop window
 M, H, W = 8, 480, 640
-WS, NPTS = 128, 1024
+NPTS = 1024
 RATIO = 3.0
 
 rng = np.random.default_rng(0)
@@ -190,12 +191,14 @@ def variant(name):
         def one_img(k, depth, K, packedw, pose_i, scale_i):
             ks = jax.random.split(k, M)
 
+            ib = max(1, (WS * WS - 1).bit_length())
+
             def one_inst(kk):
                 pri = jax.random.uniform(kk, (WS * WS,))
-                key32 = ((pri * (1 << 18)).astype(jnp.uint32) << 14) | \
+                key32 = ((pri * (1 << (32 - ib))).astype(jnp.uint32) << ib) | \
                     jnp.arange(WS * WS, dtype=jnp.uint32)
                 sel = jax.lax.sort(key32)[:NPTS]
-                return jnp.sum(sel & jnp.uint32(0x3FFF))
+                return jnp.sum(sel & jnp.uint32((1 << ib) - 1))
             return jax.vmap(one_inst)(ks)
 
     elif name == "topk_only":

@@ -47,5 +47,9 @@ if [[ -n "${CATRE_REF_SUMMARY_JSON:-}" ]]; then
   # Sampler RNG contributes ~0.15 pt noise at this split size (measured:
   # docs/DATA.md "Sampler-randomness parity tolerance"; cross-sampler bias
   # vs the imported reference crop_ball_from_pts ~0 — artifacts/spread_r4/).
+  # bf16 eval compute contributes <= 0.17 pt (measured: docs/DATA.md "bf16
+  # compute parity term"; artifacts/spread_r5_dtype/). If the diff lands
+  # within 0.2 pt of the budget edge, re-run the eval in f32 by appending
+  # MODEL.BF16=False to the test_catre.sh opts above and diff again.
   python -m catre_tpu.tools.repro_diff "$OUT" "$CATRE_REF_SUMMARY_JSON"
 fi
