@@ -68,13 +68,15 @@ def _write_synthetic_frames(root: str, n_frames: int, n_objs: int = 8):
     return records
 
 
-def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4):
+def bench_pipeline(n_frames: int = 2752, ims_per_batch: int = 32, n_iter: int = 4):
     """End-to-end pipeline rate from on-disk frames: host decode + device
     ball-crop + 4-iter fused refine + evaluator bookkeeping. Pass 1 compiles
     and warms the loader (and the decoded-tensor cache); pass 2 is timed.
-    Defaults are the measured best production path (docs/PERF.md "Round-3
-    pipeline rework"): HBM-cached decoded tensors, device-resident batches,
-    bbox-windowed ball-crop (exact for this bench's 60 px objects), ims=64.
+    Defaults are the measured best production path at the BASELINE config-3
+    protocol scale (docs/PERF.md "Round-5 captures"): 2752 frames (REAL275
+    test-split size), HBM-cached decoded tensors, device-resident batches,
+    auto-sized windowed ball-crop (exact: the window covers every instance
+    bbox), ims=32.
     Env overrides: BENCH_PIPE_{FRAMES,PCL,CACHE,DEVBATCH,WINDOW}.
     Returns the JSON record."""
     import shutil
@@ -97,9 +99,12 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
         cache = os.environ.get("BENCH_PIPE_CACHE", "device")
         ims_per_batch = int(os.environ.get("BENCH_PIPE_IMS", ims_per_batch))
         dev_batches = bool(int(os.environ.get("BENCH_PIPE_DEVBATCH", "1")))
-        window = int(os.environ.get("BENCH_PIPE_WINDOW", "128"))
+        window = int(os.environ.get("BENCH_PIPE_WINDOW", "-1"))
         prefetch = int(os.environ.get("BENCH_PIPE_PREFETCH", "2"))
         packed = bool(int(os.environ.get("BENCH_PIPE_PACKED", "1")))
+        # refine slab_groups: one refine dispatch per SLAB of sampler groups
+        # (recovers the large-batch refine rate; docs/PERF.md round-5)
+        slab = int(os.environ.get("BENCH_PIPE_SLAB", "8"))
         lcfg = LoaderConfig(num_pcl=num_pcl, max_objs_per_image=n_objs,
                             aug_depth=False, cache_decoded=cache,
                             sample_window=window,
@@ -128,7 +133,7 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
             stats = run_inference(refine, params, iter(loader), evaluator,
                                   n_iters=n_iter, warmup=warmup,
                                   compute_probe_every=0, prefetch=prefetch,
-                                  packed_inputs=packed)
+                                  packed_inputs=packed, slab_groups=slab)
             return stats, time.perf_counter() - t0
 
         one_pass(warmup=1)  # compile + warm
@@ -151,6 +156,7 @@ def bench_pipeline(n_frames: int = 192, ims_per_batch: int = 64, n_iter: int = 4
             "process_s_per_img": round(stats["process_s_per_img"], 5),
             "ims_per_batch": ims_per_batch,
             "cache": cache, "device_batches": dev_batches, "window": window,
+            "slab_groups": slab,
         }
         print(json.dumps({"pipeline_detail": detail}), file=sys.stderr)
         return {

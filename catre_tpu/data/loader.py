@@ -586,6 +586,62 @@ def _make_cached_group_sampler(cfg: LoaderConfig, train_aug: bool):
     return sample
 
 
+def _make_candidates_builder(cfg: LoaderConfig):
+    """One-time jit that extracts the deterministic ball-crop half
+    (`ops.sampling.batch_ball_crop_candidates`) for a chunk of device-cache
+    rows. Run once per record at frozen-plan build; eval passes then pay
+    only the randomized selection (docs/PERF.md round-5: the candidate body
+    is ~2/3 of the sampler's device time)."""
+    ck = _sampler_cache_key(cfg, "cand_build", False)
+    if ck in _SAMPLER_CACHE:
+        return _SAMPLER_CACHE[ck]
+
+    from ..ops.sampling import batch_ball_crop_candidates
+
+    @jax.jit
+    def build(depth_all, packed_all, K_all, pose_all, scale_all, bbox_all,
+              idx):
+        def one_i(i):
+            return batch_ball_crop_candidates(
+                depth_all[i], K_all[i], packed_all[i], bbox_all[i],
+                pose_all[i], scale_all[i],
+                ratio=cfg.depth_sample_ball_ratio,
+                window_size=cfg.sample_window)
+
+        return jax.vmap(one_i)(idx)
+
+    _SAMPLER_CACHE[ck] = build
+    return build
+
+
+def _make_presampled_group_sampler(cfg: LoaderConfig, img_w: int, wsw: int):
+    """Frozen-eval group sampler over precomputed candidates: ships
+    (keys, rows) like the cached sampler but replays only the randomized
+    selection + gather. Bit-identical outputs to `_make_cached_group_sampler`
+    (same per-image key split, same priority draw, same selection — pinned
+    by tests/test_sampling.py::test_presampled_bit_identical)."""
+    ck = _sampler_cache_key(cfg, f"presel_{img_w}_{wsw}", False)
+    if ck in _SAMPLER_CACHE:
+        return _SAMPLER_CACHE[ck]
+
+    from ..ops.sampling import batch_select_from_candidates
+
+    selection = os.environ.get("CATRE_WINDOW_SELECTION", "topk")
+
+    @jax.jit
+    def sample(pts_all, inside_all, nin_all, org_all, keys, idx):
+        def one_i(key, i):
+            return batch_select_from_candidates(
+                key, pts_all[i], inside_all[i], nin_all[i], org_all[i],
+                num_points=cfg.num_pcl, img_w=img_w, wsw=wsw,
+                selection=selection)
+
+        return jax.vmap(one_i)(keys, idx)
+
+    _SAMPLER_CACHE[ck] = sample
+    return sample
+
+
 class CATRELoader:
     """Builds flattened instance batches for train or test.
 
@@ -698,6 +754,10 @@ class CATRELoader:
         # frozen-eval plans (see _frozen_eligible), shared across loader
         # instances of the same dataset+config like the decoded caches
         self._plan_store = (shared.setdefault("plans", {})
+                            if shared is not None else {})
+        # presampled ball-crop candidates (see _ensure_candidates); keyed by
+        # the candidate-relevant cfg fields the decoded-cache key omits
+        self._cand_store = (shared.setdefault("cand", {})
                             if shared is not None else {})
         if self.cache_mode == "device":
             if shared is not None and shared["dev"] is not None:
@@ -1264,10 +1324,62 @@ class CATRELoader:
             grp["keys"][self.seed] = keys
         return keys
 
+    def _ensure_candidates(self):
+        """Build (once, shared across loader instances like the decoded
+        caches) the deterministic ball-crop half for every device-cache row:
+        window points, in-ball mask, n_inside, window origin. Legal because
+        the frozen-eval inputs (init pose/scale estimates, depth, masks) are
+        pure functions of the record — only the priority draw is per-pass.
+        Returns (cand dict, sampler) or None when the fused windowed path is
+        inactive (full-frame sampling, fps_sample), when disabled via
+        CATRE_DISABLE_PRESAMPLED_EVAL, or when the candidate stack would
+        exceed CATRE_PRESAMPLED_MAX_GB (default 6)."""
+        cfg = self.cfg
+        d = self._dev
+        h, w = d["depth"].shape[1:3]
+        wsh, wsw = min(cfg.sample_window, h), min(cfg.sample_window, w)
+        fused_window = (cfg.sample_window > 0 and not cfg.fps_sample
+                        and (cfg.sample_window < h or cfg.sample_window < w)
+                        and not os.environ.get("CATRE_DISABLE_FUSED_WINDOW"))
+        if not fused_window or os.environ.get("CATRE_DISABLE_PRESAMPLED_EVAL"):
+            return None
+        key = (cfg.depth_sample_ball_ratio, cfg.sample_window,
+               os.environ.get("CATRE_WINDOW_SELECTION", "topk"))
+        cand = self._cand_store.get(key)
+        if cand is None:
+            rows = d["depth"].shape[0]
+            m = cfg.max_objs_per_image
+            est_gb = rows * m * wsh * wsw * 13 / 2 ** 30  # f32 pts + bool
+            max_gb = float(os.environ.get("CATRE_PRESAMPLED_MAX_GB", "6"))
+            if est_gb > max_gb:
+                logger.info("presampled candidates skipped: %.1f GB > %.1f",
+                            est_gb, max_gb)
+                self._cand_store[key] = False  # don't re-estimate per pass
+                return None
+            build = _make_candidates_builder(cfg)
+            chunks = []
+            step = max(1, min(rows, 256))
+            for c0 in range(0, rows, step):
+                idx = jnp.arange(c0, min(c0 + step, rows), dtype=jnp.int32)
+                chunks.append(build(d["depth"], d["packed"], d["K"],
+                                    d["pose"], d["scale"], d["mask_bbox"],
+                                    idx))
+            pts, inside, nin, org = (jnp.concatenate(xs) if len(xs) > 1
+                                     else xs[0] for xs in zip(*chunks))
+            cand = {"pts": pts, "inside": inside, "n_inside": nin,
+                    "origin": org}
+            logger.info("presampled candidates: %d rows, %.2f GB resident",
+                        rows, est_gb)
+            self._cand_store[key] = cand
+        elif cand is False:
+            return None
+        return cand, _make_presampled_group_sampler(cfg, int(w), wsw)
+
     def _frozen_test_iter(self):
         plan = self._frozen_plan()
         d = self._dev
         m = self.cfg.max_objs_per_image
+        pre = self._ensure_candidates()
 
         def emit(handle):
             grp, (pcls, _idx, _n) = handle
@@ -1278,9 +1390,15 @@ class CATRELoader:
 
         handle = None
         for grp in plan:
-            outs = self._cached_sampler(
-                d["depth"], d["packed"], d["K"], d["pose"], d["scale"],
-                d["mask_bbox"], self._frozen_keys(grp), grp["rows"])
+            if pre is not None:
+                cand, sampler = pre
+                outs = sampler(cand["pts"], cand["inside"],
+                               cand["n_inside"], cand["origin"],
+                               self._frozen_keys(grp), grp["rows"])
+            else:
+                outs = self._cached_sampler(
+                    d["depth"], d["packed"], d["K"], d["pose"], d["scale"],
+                    d["mask_bbox"], self._frozen_keys(grp), grp["rows"])
             new = (grp, outs)
             if handle is not None:
                 yield emit(handle)

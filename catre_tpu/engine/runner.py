@@ -570,6 +570,9 @@ def do_test(cfg, params_override=None, ctx: dict | None = None) -> dict:
             # the category-mean device table would silently override them
             use_mean_table=not (bool(cfg.INPUT.get("USE_CMRA_MODEL", True))
                                 and "cmra" in dset_name),
+            # perf knob, results bit-identical (run_inference docstring);
+            # env rather than config: the config schema is reference parity
+            slab_groups=int(os.environ.get("CATRE_EVAL_SLAB_GROUPS", "1")),
         )
         if cfg.TEST.get("VIS", False):
             # collective gather so the vis/results paths see ALL processes'

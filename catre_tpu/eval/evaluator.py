@@ -207,7 +207,7 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                   num_kps: int = 1024, mesh=None,
                   compute_probe_every: int = 8, prefetch: int = 2,
                   packed_inputs: bool = True,
-                  use_mean_table: bool = True) -> dict:
+                  use_mean_table: bool = True, slab_groups: int = 1) -> dict:
     """Timed inference over a test loader (mirrors
     `catre_inference_on_dataset`, `catre_evaluator.py:225-369`): per-image
     total / pure-compute / post-process accounting; iter-0 predictions are
@@ -232,7 +232,15 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     With a mesh, instance rows are sharded across the devices (eval-time data
     parallelism the reference declares incorrect for its DDP evaluator,
     `catre_custom_evaluator.py:327-328` — correct here because scoring sees
-    the full gathered predictions)."""
+    the full gathered predictions).
+
+    slab_groups > 1 refines that many loader groups in ONE dispatch
+    (device-side pcl concat + one packed upload): the refine program carries
+    a measured ~3.4 ms fixed device cost per dispatch (164 µs/obj at B=256
+    vs 150.8 at B=2048 — docs/PERF.md round-5), so slabbing recovers the
+    large-batch rate while the sampler keeps its best per-group shape.
+    Per-object results are bit-identical (the refine is per-object
+    independent; pinned by tests/test_evaluator.py). Packed path only."""
     import jax
     import jax.numpy as jnp
 
@@ -333,14 +341,15 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
     start = time.perf_counter()
 
     def finish(entry):
-        """Fetch one in-flight refine result and run the host bookkeeping.
-        Deferred by up to `prefetch` batches: jax dispatch is async, so batch
-        k's refinement computes on device while the loader prepares batches
-        k+1..k+prefetch (each itself double-buffering its sampler) — the
-        fetch here lands after the overlap, and the extra depth keeps the
-        device queue fed across the fetch's relay round trip."""
+        """Fetch one in-flight refine result (one batch, or one slab of
+        slab_groups batches) and run the host bookkeeping. Deferred by up to
+        `prefetch` dispatches: jax dispatch is async, so batch k's refinement
+        computes on device while the loader prepares batches k+1..k+prefetch
+        (each itself double-buffering its sampler) — the fetch here lands
+        after the overlap, and the extra depth keeps the device queue fed
+        across the fetch's relay round trip."""
         nonlocal total_compute, total_process, n_images
-        i, batch, poses, scales, t0 = entry
+        i, batches, poses, scales, t0 = entry
         # ONE device->host round trip for both outputs (two np.asarray calls
         # would pay the relay latency twice); the fetch is also the sync
         # (block_until_ready unreliable on axon)
@@ -349,49 +358,99 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             total_compute += time.perf_counter() - t0
             # count real images, not batches (TEST.IMS_PER_BATCH may be > 1;
             # final-group padding images carry scene_im_id None)
-            n_images += sum(1 for s in batch["scene_im_ids"] if s is not None)
+            n_images += sum(1 for b in batches
+                            for s in b["scene_im_ids"] if s is not None)
 
         t1 = time.perf_counter()
-        # per-image bookkeeping fields are pure functions of the batch's
-        # frozen host side — memoized per group when the loader provides a
-        # _host_memo (frozen-eval path), recomputed otherwise
-        memo = batch.get("_host_memo")
-        fields = None if memo is None else memo.get("finish_fields")
-        if fields is None:
-            valid = np.asarray(batch["valid"])
-            im_ids = np.asarray(batch["im_id"])
-            cls_all = np.asarray(batch["obj_cls"]) + 1
-            scores_all = np.asarray(batch["score"])
-            bb_all = np.asarray(batch["obj_bbox"])[:, [1, 0, 3, 2]]  # xyxy -> yxyx
-            fields = []
-            for local_i, scene_im_id in enumerate(batch["scene_im_ids"]):
-                if scene_im_id is None:  # final-group padding image
-                    continue
-                sel = np.flatnonzero(valid & (im_ids == local_i))
-                fields.append((scene_im_id, sel, cls_all[sel], scores_all[sel],
-                               bb_all[sel]))
-            if memo is not None:
-                memo["finish_fields"] = fields
-        for scene_im_id, sel, cls_s, scores_s, bb_s in fields:
-            # host-side 3x4 -> 4x4 (a jnp call here costs a device dispatch
-            # per image per refine iter — measured 1.5 s/img through the
-            # remote-TPU relay vs ~0 in numpy)
-            for refine_i in range(n_iters + 1):
-                p44 = pose_3x4_to_4x4_np(poses[refine_i][sel])
-                evaluator.process(scene_im_id, refine_i, p44, scales[refine_i][sel],
-                                  cls_s, scores_s, bb_s)
+        off = 0
+        for batch in batches:
+            nb = len(batch["obj_cls"])
+            b_poses, b_scales = poses[:, off:off + nb], scales[:, off:off + nb]
+            off += nb
+            # per-image bookkeeping fields are pure functions of the batch's
+            # frozen host side — memoized per group when the loader provides
+            # a _host_memo (frozen-eval path), recomputed otherwise
+            memo = batch.get("_host_memo")
+            fields = None if memo is None else memo.get("finish_fields")
+            if fields is None:
+                valid = np.asarray(batch["valid"])
+                im_ids = np.asarray(batch["im_id"])
+                cls_all = np.asarray(batch["obj_cls"]) + 1
+                scores_all = np.asarray(batch["score"])
+                bb_all = np.asarray(batch["obj_bbox"])[:, [1, 0, 3, 2]]  # xyxy -> yxyx
+                fields = []
+                for local_i, scene_im_id in enumerate(batch["scene_im_ids"]):
+                    if scene_im_id is None:  # final-group padding image
+                        continue
+                    sel = np.flatnonzero(valid & (im_ids == local_i))
+                    fields.append((scene_im_id, sel, cls_all[sel],
+                                   scores_all[sel], bb_all[sel]))
+                if memo is not None:
+                    memo["finish_fields"] = fields
+            for scene_im_id, sel, cls_s, scores_s, bb_s in fields:
+                # host-side 3x4 -> 4x4 (a jnp call here costs a device
+                # dispatch per image per refine iter — measured 1.5 s/img
+                # through the remote-TPU relay vs ~0 in numpy)
+                for refine_i in range(n_iters + 1):
+                    p44 = pose_3x4_to_4x4_np(b_poses[refine_i][sel])
+                    evaluator.process(scene_im_id, refine_i, p44,
+                                      b_scales[refine_i][sel],
+                                      cls_s, scores_s, bb_s)
         if i >= warmup:
             total_process += time.perf_counter() - t1
 
+    slab_groups = max(1, int(slab_groups))
+    if slab_groups > 1 and (mean_table is None or not packed_inputs):
+        raise ValueError("slab_groups > 1 requires the packed mean-table "
+                         "refine path (kps_type='mean_shape' + asset table "
+                         "+ packed_inputs)")
+    slab: list = []
+
+    def dispatch_slab():
+        """One refine dispatch over the accumulated slab; returns the
+        pending-entry. Device-resident pcls concat on device (one extra
+        overlapped dispatch); host rows concat in numpy (µs)."""
+        t0 = time.perf_counter()
+        batches = [b for _, b in slab]
+        i0 = slab[0][0]
+        if len(batches) == 1:
+            pcl, packed = batches[0]["pcl"], _pack_host(batches[0])
+        else:
+            pcls = [b["pcl"] for b in batches]
+            pcl = (jnp.concatenate(pcls) if isinstance(pcls[0], jax.Array)
+                   else np.concatenate(pcls))
+            packed = np.concatenate([_pack_host(b) for b in batches])
+        poses, scales = _packed_refine(params, put(pcl), mean_table,
+                                       put(packed))
+        slab.clear()
+        return (i0, batches, poses, scales, t0)
+
     pending = collections.deque()
-    for i, batch in enumerate(loader):
-        if batch.get("empty"):
+    i = -1
+    for raw_batch in loader:
+        if raw_batch.get("empty"):
             continue
+        i += 1
         probe = (compute_probe_every > 0 and i >= warmup
                  and (i - warmup) % compute_probe_every == 0)
         if probe:
             while pending:  # drain the pipeline so the probe times ONLY
-                finish(pending.popleft())  # this batch's device work
+                finish(pending.popleft())  # this dispatch's device work
+        if slab_groups > 1:
+            slab.append((i, raw_batch))
+            if len(slab) < slab_groups:
+                continue
+            entry = dispatch_slab()
+            if probe:
+                float(np.asarray(entry[2])[-1, 0, 0, 0])
+                probe_s += time.perf_counter() - entry[4]
+                probe_images += sum(1 for b in entry[1]
+                                    for s in b["scene_im_ids"] if s is not None)
+            pending.append(entry)
+            if len(pending) > prefetch:
+                finish(pending.popleft())
+            continue
+        batch = raw_batch
         t0 = time.perf_counter()
         if mean_table is not None and packed_inputs:
             poses, scales = _packed_refine(
@@ -434,9 +493,11 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             float(np.asarray(poses)[-1, 0, 0, 0])
             probe_s += time.perf_counter() - t0
             probe_images += sum(1 for s in batch["scene_im_ids"] if s is not None)
-        pending.append((i, batch, poses, scales, t0))
+        pending.append((i, [batch], poses, scales, t0))
         if len(pending) > prefetch:
             finish(pending.popleft())
+    if slab:  # partial tail slab
+        pending.append(dispatch_slab())
     while pending:
         finish(pending.popleft())
 

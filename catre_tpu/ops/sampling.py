@@ -52,7 +52,19 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
     Returns:
       (idx (num_points,) int32, n_inside scalar int32)
     """
-    n = pts.shape[0]
+    inside, n_inside = ball_inside_mask(pts, valid, center, radius,
+                                        min_inside, growth, growth_steps)
+    idx = select_inside(key, inside, n_inside, num_points, selection)
+    return idx, n_inside
+
+
+def ball_inside_mask(pts, valid, center, radius, min_inside: int = 10,
+                     growth: float = 1.1, growth_steps: int = 10):
+    """Deterministic half of the ball-crop: the in-ball candidate mask.
+    Pure function of the record (pose/scale estimate, depth, mask) — the
+    frozen-eval path precomputes it once per record (`CATRELoader`
+    presampled candidates) and replays only `select_inside` per pass.
+    Returns (inside (N,) bool, n_inside scalar int32)."""
     dist = jnp.linalg.norm(pts - center[None, :], axis=-1)
     dist = jnp.where(valid, dist, BIG)
 
@@ -72,8 +84,17 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
 
     inside = valid & (dist <= eff_radius)
     n_inside = jnp.sum(inside).astype(jnp.int32)
+    return inside, n_inside
 
-    # uniform-without-replacement among inside points via random priorities
+
+def select_inside(key, inside, n_inside, num_points: int,
+                  selection: str = "topk"):
+    """Randomized half of the ball-crop: uniform-without-replacement among
+    the `inside` candidates via random priorities, cycling when fewer than
+    `num_points` qualify. Identical draw (same key, same shape) and identical
+    op order as the fused path — composing `ball_inside_mask` +
+    `select_inside` is bit-equal to the original single function."""
+    n = inside.shape[0]
     priority = jax.random.uniform(key, (n,))
     if selection == "packed_sort":
         idx_bits = max(1, (n - 1).bit_length())
@@ -97,7 +118,7 @@ def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.nda
     j = jnp.arange(num_points, dtype=jnp.int32)
     wrap = jnp.where(n_inside > 0, j % jnp.maximum(n_inside, 1), 0)
     idx = jnp.where(j < n_inside, idx, idx[wrap])
-    return idx, n_inside
+    return idx
 
 
 def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points: int,
@@ -280,6 +301,81 @@ def batch_ball_crop_from_depth(key, depth: jnp.ndarray, K: jnp.ndarray,
     if bit_packed:
         return jax.vmap(one_inst)(keys, bits, mask_bbox, poses, scales)
     return jax.vmap(one_inst)(keys, bits, mask_bbox, poses, scales, packed)
+
+
+def batch_ball_crop_candidates(depth: jnp.ndarray, K: jnp.ndarray,
+                               packed: jnp.ndarray, mask_bbox: jnp.ndarray,
+                               poses: jnp.ndarray, scales: jnp.ndarray,
+                               ratio: float, window_size: int):
+    """Deterministic half of `batch_ball_crop_from_depth`: per-instance
+    window slice + backproject + in-ball mask, with the EXACT op order of
+    the fused path (same slices, same f32 arithmetic, same
+    `ball_inside_mask`). On the frozen-eval path every input here is a pure
+    function of the record (test init estimates are fixed), so the result
+    can be computed ONCE per record and cached in HBM; each eval pass then
+    replays only the randomized `batch_select_from_candidates` — measured
+    ~2/3 of the sampler's device time is this half (docs/PERF.md round-5
+    sampler decomposition).
+
+    Returns (pts (M, wsh*wsw, 3) f32, inside (M, wsh*wsw) bool,
+    n_inside (M,) int32, origin (M, 2) int32 window origins).
+    """
+    h, w = depth.shape
+    m = poses.shape[0]
+    wsh, wsw = min(int(window_size), h), min(int(window_size), w)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    bit_packed = packed.ndim == 2
+    bits = jnp.arange(m, dtype=packed.dtype if bit_packed else jnp.uint8)
+
+    def one_inst(bit, bbox, pose, scale, mask_i=None):
+        r0, c0 = _window_origin(bbox[0], bbox[1], bbox[2], bbox[3],
+                                wsh, wsw, h, w)
+        dw = jax.lax.dynamic_slice(depth, (r0, c0), (wsh, wsw))
+        if dw.dtype == jnp.uint16:
+            dw = dw.astype(jnp.float32) / 1000.0
+        if bit_packed:
+            word_w = jax.lax.dynamic_slice(packed, (r0, c0), (wsh, wsw))
+            mask_w = (jnp.right_shift(word_w, bit) & 1).astype(bool)
+        else:
+            mask_w = jax.lax.dynamic_slice(mask_i, (r0, c0), (wsh, wsw))
+        vy = (r0 + jnp.arange(wsh))[:, None].astype(dw.dtype) - cy
+        vx = (c0 + jnp.arange(wsw))[None, :].astype(dw.dtype) - cx
+        pts = jnp.stack([vx * dw / fx, vy * dw / fy, dw], axis=-1)
+        pts = pts.reshape(-1, 3)
+        valid = mask_w.reshape(-1) & (pts[:, 2] > 0)
+        center = pose[:, 3]
+        radius = ratio * jnp.linalg.norm(pose[:, :3] @ scale)
+        inside, n_inside = ball_inside_mask(pts, valid, center, radius)
+        return pts, inside, n_inside, jnp.stack([r0, c0])
+
+    if bit_packed:
+        return jax.vmap(one_inst)(bits, mask_bbox, poses, scales)
+    return jax.vmap(one_inst)(bits, mask_bbox, poses, scales, packed)
+
+
+def batch_select_from_candidates(key, pts: jnp.ndarray, inside: jnp.ndarray,
+                                 n_inside: jnp.ndarray, origin: jnp.ndarray,
+                                 num_points: int, img_w: int, wsw: int,
+                                 selection: str = "topk"):
+    """Randomized half over precomputed candidates: same per-image key split
+    and per-instance priority draw as `batch_ball_crop_from_depth`, so
+    composing `batch_ball_crop_candidates` + this is bit-identical to the
+    fused path (pinned by tests/test_sampling.py).
+
+    Args shapes: pts (M, n, 3), inside (M, n), n_inside (M,), origin (M, 2).
+    Returns the `batch_ball_crop` contract: (pcls (M, num_points, 3),
+    idx (M, num_points) flat H*W pixel indices, n_inside (M,)).
+    """
+    m = pts.shape[0]
+    keys = jax.random.split(key, m)
+
+    def one_inst(k, p, ins, n_in, org):
+        idx_w = select_inside(k, ins, n_in, num_points, selection)
+        idx = _window_to_flat_idx(idx_w, org[0], org[1], wsw, img_w)
+        return p[idx_w], idx, n_in
+
+    return jax.vmap(one_inst)(keys, pts, inside, n_inside, origin)
 
 
 def farthest_point_indices(pts: jnp.ndarray, num_points: int,

@@ -232,3 +232,50 @@ def test_compute_probe_timing(fake_real_root):  # noqa: F811
     assert stats["compute_s_per_img"] > 0
     assert stats["overlap_fetch_s_per_img"] >= 0
     assert len(evaluator._preds[1]) == 2
+
+
+def test_slab_refine_bit_identical(fake_real_root):  # noqa: F811
+    """slab_groups > 1 (one refine dispatch per slab of loader groups) must
+    reproduce the per-group dispatch predictions BIT-exactly — the refine is
+    per-object independent, so batch composition cannot change results.
+    Covers a full slab (2 groups) and a partial tail flush (slab=3 with only
+    2 groups)."""
+    dicts = _dicts_with_init(fake_real_root, noise=0.02)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=2)
+
+    preds = {}
+    for slab in (1, 2, 3):
+        loader = CATRELoader(
+            dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4, aug_depth=False),
+            phase="test", ims_per_batch=1, seed=0,
+        )
+        evaluator = CATREEvaluator(dicts, n_iters=2)
+        stats = run_inference(refine, params, iter(loader), evaluator,
+                              n_iters=2, warmup=0, slab_groups=slab)
+        assert stats["images"] == 2
+        preds[slab] = evaluator._preds
+    for slab in (2, 3):
+        for it in range(3):
+            assert sorted(preds[slab][it]) == sorted(preds[1][it])
+            assert preds[1][it], "no predictions recorded"
+            for key in preds[1][it]:
+                ps, p1 = preds[slab][it][key], preds[1][it][key]
+                np.testing.assert_array_equal(ps["pred_RTs"], p1["pred_RTs"])
+                np.testing.assert_array_equal(ps["pred_scales"], p1["pred_scales"])
+
+
+def test_slab_requires_packed_path(fake_real_root):  # noqa: F811
+    dicts = _dicts_with_init(fake_real_root, noise=0.0)
+    cfg = CATREConfig(num_pcl=128, num_kps=1024)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+    loader = CATRELoader(dicts, LoaderConfig(num_pcl=128, max_objs_per_image=4,
+                                             aug_depth=False), phase="test", ims_per_batch=1)
+    evaluator = CATREEvaluator(dicts, n_iters=1)
+    with pytest.raises(ValueError, match="slab_groups"):
+        run_inference(refine, params, iter(loader), evaluator, n_iters=1,
+                      warmup=0, packed_inputs=False, slab_groups=2)

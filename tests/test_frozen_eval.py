@@ -118,3 +118,55 @@ def test_frozen_through_run_inference(fake_real_root):  # noqa: F811
     r2 = run_pass()
     assert r1[1]["summary"] == r2[1]["summary"]
     assert np.isfinite(list(r1[1]["summary"].values())).all()
+
+
+def test_presampled_matches_per_pass_sampler_bitexact(fake_real_root, monkeypatch):  # noqa: F811
+    """The presampled-candidates fast path (deterministic ball-crop half
+    cached once, randomized selection replayed per pass) yields batches
+    BIT-IDENTICAL to the per-pass cached sampler, across seeds. Requires a
+    windowed config (the presampled path mirrors the fused windowed crop)."""
+    dicts = _dicts(fake_real_root)
+
+    def _mk_windowed(seed):
+        cfg = LoaderConfig(num_pcl=128, max_objs_per_image=2, aug_depth=False,
+                           cache_decoded="device", sample_window=32)
+        return CATRELoader(dicts, cfg, phase="test", ims_per_batch=2,
+                           seed=seed, device_batches=True)
+
+    for seed in (3, 9):
+        monkeypatch.delenv("CATRE_DISABLE_PRESAMPLED_EVAL", raising=False)
+        fast_loader = _mk_windowed(seed)
+        assert fast_loader._frozen_eligible()
+        assert fast_loader._ensure_candidates() is not None
+        got_fast = _materialize(list(fast_loader))
+        assert len(fast_loader._cand_store) == 1  # one cached entry
+
+        monkeypatch.setenv("CATRE_DISABLE_PRESAMPLED_EVAL", "1")
+        loader_mod._DECODED_CACHE_REGISTRY.clear()
+        ref_loader = _mk_windowed(seed)
+        assert ref_loader._ensure_candidates() is None
+        got_ref = _materialize(list(ref_loader))
+        loader_mod._DECODED_CACHE_REGISTRY.clear()
+
+        assert len(got_fast) == len(got_ref) > 0
+        for f, p in zip(got_fast, got_ref):
+            assert f["scene_im_ids"] == p["scene_im_ids"]
+            for k in p:
+                if k == "scene_im_ids":
+                    continue
+                np.testing.assert_array_equal(f[k], p[k], err_msg=k)
+
+
+def test_presampled_size_guard(fake_real_root, monkeypatch):  # noqa: F811
+    """A candidate stack over CATRE_PRESAMPLED_MAX_GB falls back to the
+    per-pass sampler (and caches the decision) instead of allocating."""
+    dicts = _dicts(fake_real_root)
+    cfg = LoaderConfig(num_pcl=128, max_objs_per_image=2, aug_depth=False,
+                       cache_decoded="device", sample_window=32)
+    loader = CATRELoader(dicts, cfg, phase="test", ims_per_batch=2,
+                         device_batches=True)
+    monkeypatch.setenv("CATRE_PRESAMPLED_MAX_GB", "0")
+    assert loader._ensure_candidates() is None
+    assert False in loader._cand_store.values()
+    # batches still come out (per-pass sampler path)
+    assert len(_materialize(list(loader))) > 0

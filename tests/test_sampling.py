@@ -298,3 +298,63 @@ def test_packed_sort_selection_semantics():
         jnp.asarray(center), jnp.float32(0.2), num_points=64,
         selection="packed_sort")
     assert int(n_e) == 0
+
+
+def test_presampled_bit_identical():
+    """Splitting the fused windowed crop into its deterministic half
+    (batch_ball_crop_candidates) + randomized half
+    (batch_select_from_candidates) is bit-identical to
+    batch_ball_crop_from_depth with the same key — the contract the
+    frozen-eval presampled path relies on. Covers an empty instance, a
+    border-clamped window, u8-packed and unpacked masks, and both
+    selection schemes."""
+    from catre_tpu.ops.sampling import (batch_ball_crop_candidates,
+                                        batch_ball_crop_from_depth,
+                                        batch_select_from_candidates)
+
+    h, w, m, ws, npts = 96, 128, 3, 48, 256
+    rng = np.random.default_rng(11)
+    depth_u16 = np.zeros((h, w), np.uint16)
+    masks = np.zeros((m, h, w), bool)
+    regions = [(40, 64, 60, 90), (0, 20, 0, 25)]  # interior + border clamp
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (m, 1, 1))
+    K = np.array([[600.0, 0, 64.0], [0, 600.0, 48.0], [0, 0, 1]], np.float32)
+    for i, (r0, r1, c0, c1) in enumerate(regions):
+        depth_u16[r0:r1, c0:c1] = rng.integers(800, 1200, (r1 - r0, c1 - c0))
+        masks[i, r0:r1, c0:c1] = rng.random((r1 - r0, c1 - c0)) < 0.8
+        rc, cc = (r0 + r1) // 2, (c0 + c1) // 2
+        z = depth_u16[rc, cc] / 1000.0
+        poses[i, :, 3] = [(cc - K[0, 2]) / K[0, 0] * z,
+                          (rc - K[1, 2]) / K[1, 1] * z, max(z, 0.9)]
+    scales = np.full((m, 3), 0.25, np.float32)
+    packed = np.zeros((h, w), np.uint8)
+    for i in range(m):
+        packed |= masks[i].astype(np.uint8) << i
+    mask_bbox = np.empty((m, 4), np.int32)
+    mask_bbox[:, 0], mask_bbox[:, 1] = h, -1
+    mask_bbox[:, 2], mask_bbox[:, 3] = w, -1
+    for i in range(m):
+        rows, cols = masks[i].any(axis=1), masks[i].any(axis=0)
+        if rows.any():
+            rnz, cnz = np.flatnonzero(rows), np.flatnonzero(cols)
+            mask_bbox[i] = (rnz[0], rnz[-1], cnz[0], cnz[-1])
+
+    for packed_arg in (jnp.asarray(packed), jnp.asarray(masks)):
+        for selection in ("topk", "packed_sort"):
+            fused = batch_ball_crop_from_depth(
+                jax.random.PRNGKey(7), jnp.asarray(depth_u16), jnp.asarray(K),
+                packed_arg, jnp.asarray(mask_bbox), jnp.asarray(poses),
+                jnp.asarray(scales), ratio=1.0, num_points=npts,
+                window_size=ws, selection=selection)
+            pts_c, inside, n_in, origin = batch_ball_crop_candidates(
+                jnp.asarray(depth_u16), jnp.asarray(K), packed_arg,
+                jnp.asarray(mask_bbox), jnp.asarray(poses),
+                jnp.asarray(scales), ratio=1.0, window_size=ws)
+            np.testing.assert_array_equal(np.asarray(n_in),
+                                          np.asarray(fused[2]))
+            pre = batch_select_from_candidates(
+                jax.random.PRNGKey(7), pts_c, inside, n_in, origin,
+                num_points=npts, img_w=w, wsw=ws, selection=selection)
+            for a, b in zip(fused, pre):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
