@@ -102,9 +102,15 @@ def bench_pipeline(n_frames: int = 2752, ims_per_batch: int = 32, n_iter: int = 
         window = int(os.environ.get("BENCH_PIPE_WINDOW", "-1"))
         prefetch = int(os.environ.get("BENCH_PIPE_PREFETCH", "2"))
         packed = bool(int(os.environ.get("BENCH_PIPE_PACKED", "1")))
-        # refine slab_groups: one refine dispatch per SLAB of sampler groups
-        # (recovers the large-batch refine rate; docs/PERF.md round-5)
-        slab = int(os.environ.get("BENCH_PIPE_SLAB", "8"))
+        # refine slab_groups: one refine dispatch per SLAB of sampler groups.
+        # Measured default 1 (off): the B>=512 batch-rate gain is eaten by
+        # per-slab relay serialization — slab 1/2/8 = 5776.8/5600.7/5588.8
+        # obj/s (docs/PERF.md round-5 slab sweep). Kept as a knob for
+        # direct-attached chips where the arithmetic favors it.
+        slab = int(os.environ.get("BENCH_PIPE_SLAB", "1"))
+        # deferred selection: the loader ships presampled-candidate refs and
+        # run_inference fuses selection+refine into ONE dispatch per group
+        defer = bool(int(os.environ.get("BENCH_PIPE_DEFER", "0")))
         lcfg = LoaderConfig(num_pcl=num_pcl, max_objs_per_image=n_objs,
                             aug_depth=False, cache_decoded=cache,
                             sample_window=window,
@@ -124,7 +130,8 @@ def bench_pipeline(n_frames: int = 2752, ims_per_batch: int = 32, n_iter: int = 
         def one_pass(warmup):
             loader = CATRELoader(records, lcfg, phase="test",
                                  ims_per_batch=ims_per_batch, num_workers=4,
-                                 device_batches=dev_batches)
+                                 device_batches=dev_batches,
+                                 defer_selection=defer)
             evaluator = CATREEvaluator(records, n_iters=n_iter, output_dir=None)
             t0 = time.perf_counter()
             # probes off: the pipeline line measures pure overlapped e2e;
@@ -156,7 +163,7 @@ def bench_pipeline(n_frames: int = 2752, ims_per_batch: int = 32, n_iter: int = 
             "process_s_per_img": round(stats["process_s_per_img"], 5),
             "ims_per_batch": ims_per_batch,
             "cache": cache, "device_batches": dev_batches, "window": window,
-            "slab_groups": slab,
+            "slab_groups": slab, "defer_selection": defer,
         }
         print(json.dumps({"pipeline_detail": detail}), file=sys.stderr)
         return {

@@ -655,7 +655,7 @@ class CATRELoader:
     def __init__(self, dataset_dicts: list, cfg: LoaderConfig, phase: str = "train",
                  ims_per_batch: int = 16, seed: int = 0, max_objs_train: int = 128,
                  num_workers: int = 0, rank: int = 0, world_size: int = 1,
-                 device_batches: bool = False):
+                 device_batches: bool = False, defer_selection: bool = False):
         assert phase in ("train", "test")
         self.dicts = dataset_dicts
         if cfg.sample_window == -1:
@@ -680,6 +680,13 @@ class CATRELoader:
         # (nocs/rgb) and the multi-process global-batch assembly
         # (host_local_array_to_global_array wants host numpy).
         self.device_batches = bool(device_batches)
+        # defer_selection: frozen-eval batches carry the presampled candidate
+        # refs + per-group keys/rows instead of a sampled pcl; the consumer
+        # (run_inference) fuses selection + refine into ONE device dispatch
+        # per group (docs/PERF.md round-5: two programs per group leave a
+        # measurable inter-dispatch gap on the relay-attached chip). Falls
+        # back to normal frozen batches when the presampled path is inactive.
+        self.defer_selection = bool(defer_selection)
         if self.device_batches and (cfg.with_nocs or cfg.pcl_with_color):
             raise ValueError("device_batches is incompatible with WITH_NOCS /"
                              " PCL_WITH_COLOR (they consume host pixel indices)")
@@ -1381,6 +1388,30 @@ class CATRELoader:
         m = self.cfg.max_objs_per_image
         pre = self._ensure_candidates()
 
+        if self.defer_selection and pre is not None:
+            # deferred mode: no sampler dispatch here — the batch carries the
+            # shared candidate stacks + this group's keys/rows, and the
+            # consumer runs selection + refine as one fused jit. Outputs are
+            # bit-identical (same ops, same key stream; pinned by
+            # tests/test_frozen_eval.py).
+            cand, _sampler = pre
+            h, w = d["depth"].shape[1:3]
+            sel_meta = {
+                "pts": cand["pts"], "inside": cand["inside"],
+                "n_inside": cand["n_inside"], "origin": cand["origin"],
+                "num_pcl": self.cfg.num_pcl, "img_w": int(w),
+                "wsw": min(self.cfg.sample_window, int(w)),
+                "selection": os.environ.get("CATRE_WINDOW_SELECTION", "topk"),
+            }
+            for grp in plan:
+                batch = dict(grp["host"])
+                batch["_presampled"] = dict(
+                    sel_meta, keys=self._frozen_keys(grp), rows=grp["rows"])
+                batch["_host_memo"] = grp["memo"]
+                yield batch
+            self._pos = len(self.dicts)
+            return
+
         def emit(handle):
             grp, (pcls, _idx, _n) = handle
             batch = dict(grp["host"])
@@ -1388,9 +1419,18 @@ class CATRELoader:
             batch["_host_memo"] = grp["memo"]  # run_inference packed28 cache
             return batch
 
+        # DIAGNOSTIC ONLY (never a production default: the pipeline metric
+        # includes the per-pass ball-crop selection): stash each group's
+        # sampled clouds on device and replay them on later passes — the
+        # resulting wall is the refine-only in-situ ceiling, isolating the
+        # sampler's true in-context cost (docs/PERF.md round-5).
+        replay = bool(os.environ.get("CATRE_FROZEN_REPLAY_PCL"))
         handle = None
         for grp in plan:
-            if pre is not None:
+            stash = grp.setdefault("pcl_replay", {}) if replay else None
+            if stash is not None and self.seed in stash:
+                outs = stash[self.seed]
+            elif pre is not None:
                 cand, sampler = pre
                 outs = sampler(cand["pts"], cand["inside"],
                                cand["n_inside"], cand["origin"],
@@ -1399,6 +1439,8 @@ class CATRELoader:
                 outs = self._cached_sampler(
                     d["depth"], d["packed"], d["K"], d["pose"], d["scale"],
                     d["mask_bbox"], self._frozen_keys(grp), grp["rows"])
+            if stash is not None:
+                stash[self.seed] = outs
             new = (grp, outs)
             if handle is not None:
                 yield emit(handle)

@@ -25,11 +25,13 @@ from .nocs_eval import SYNSET_NAMES, compute_independent_mAP
 
 logger = logging.getLogger(__name__)
 
-# refine_fn -> jitted packed-input wrapper (kps gather + refine in one
-# program).  Module-level so repeated run_inference calls over the same
-# refine_fn (warm pass / timed pass, periodic eval during training) reuse
-# the compiled executable instead of re-tracing + re-deserializing from the
-# compile cache each call (~15 s per pass through the axon relay).
+# refine_fn -> {variant key -> jitted wrapper}: "packed" is the packed-input
+# refine (kps gather + refine in one program); ("sel", num_pcl, img_w, wsw,
+# selection) is the fused ball-crop-selection + refine program for deferred
+# frozen-eval batches.  Module-level so repeated run_inference calls over the
+# same refine_fn (warm pass / timed pass, periodic eval during training)
+# reuse the compiled executable instead of re-tracing + re-deserializing
+# from the compile cache each call (~15 s per pass through the axon relay).
 _PACKED_REFINE_CACHE = weakref.WeakKeyDictionary()
 
 
@@ -298,21 +300,58 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
         # (~30 ms dispatch floor) regardless of size, so op count dominates
         # bandwidth for these tiny arrays (docs/PERF.md "Round-3 pipeline
         # rework").
-        _packed_refine = _PACKED_REFINE_CACHE.get(refine_fn)
+        _variants = _PACKED_REFINE_CACHE.get(refine_fn)
+        if _variants is None:
+            _variants = {}
+            _PACKED_REFINE_CACHE[refine_fn] = _variants
+
+        def _unpack_refine(pcl, table, packed, params):
+            b = packed.shape[0]
+            pose_est = packed[:, :12].reshape(b, 3, 4)
+            scale_est = packed[:, 12:15]
+            cam_k = packed[:, 15:24].reshape(b, 3, 3)
+            mean_scales = packed[:, 24:27]
+            obj_kps = table[packed[:, 27].astype(jnp.int32)]
+            return refine_fn(params, pcl, obj_kps, pose_est, scale_est,
+                             cam_k, mean_scales)
+
+        _packed_refine = _variants.get("packed")
         if _packed_refine is None:
 
             @jax.jit
             def _packed_refine(params, pcl, table, packed):
-                b = packed.shape[0]
-                pose_est = packed[:, :12].reshape(b, 3, 4)
-                scale_est = packed[:, 12:15]
-                cam_k = packed[:, 15:24].reshape(b, 3, 3)
-                mean_scales = packed[:, 24:27]
-                obj_kps = table[packed[:, 27].astype(jnp.int32)]
-                return refine_fn(params, pcl, obj_kps, pose_est, scale_est,
-                                 cam_k, mean_scales)
+                return _unpack_refine(pcl, table, packed, params)
 
-            _PACKED_REFINE_CACHE[refine_fn] = _packed_refine
+            _variants["packed"] = _packed_refine
+
+        def _get_select_refine(num_pcl, img_w, wsw, selection):
+            """Fused program for deferred frozen-eval batches: ball-crop
+            selection (priorities + top_k + gather over the presampled
+            candidate stacks) feeds the refine inside ONE jit — one dispatch
+            per group instead of a sampler dispatch + a refine dispatch
+            (docs/PERF.md round-5: the program boundary costs ~ms on the
+            relay-attached chip). Bit-identical outputs to the split path
+            (same ops, same key stream)."""
+            key = ("sel", num_pcl, img_w, wsw, selection)
+            fn = _variants.get(key)
+            if fn is None:
+                from ..ops.sampling import batch_select_from_candidates
+
+                @jax.jit
+                def fn(params, pts, inside, nin, org, keys, rows, table,
+                       packed):
+                    def one_i(k, i):
+                        pcls, _idx, _n = batch_select_from_candidates(
+                            k, pts[i], inside[i], nin[i], org[i],
+                            num_points=num_pcl, img_w=img_w, wsw=wsw,
+                            selection=selection)
+                        return pcls
+                    pcls = jax.vmap(one_i)(keys, rows)  # (G, M, P, 3)
+                    pcl = pcls.reshape(-1, pcls.shape[2], 3)
+                    return _unpack_refine(pcl, table, packed, params)
+
+                _variants[key] = fn
+            return fn
 
         def _pack_host(batch):
             # frozen-eval loaders attach a per-group memo dict: the packed
@@ -437,6 +476,10 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             while pending:  # drain the pipeline so the probe times ONLY
                 finish(pending.popleft())  # this dispatch's device work
         if slab_groups > 1:
+            if raw_batch.get("_presampled") is not None:
+                raise ValueError("slab_groups > 1 and deferred-selection "
+                                 "batches are mutually exclusive (build the "
+                                 "loader with defer_selection=False)")
             slab.append((i, raw_batch))
             if len(slab) < slab_groups:
                 continue
@@ -452,7 +495,28 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
             continue
         batch = raw_batch
         t0 = time.perf_counter()
-        if mean_table is not None and packed_inputs:
+        pre = batch.get("_presampled")
+        if pre is not None:
+            # deferred frozen-eval batch (loader defer_selection=True):
+            # selection + refine in one fused dispatch; candidate stacks are
+            # the same device arrays every call (no per-group upload)
+            if mean_table is None or not packed_inputs:
+                raise ValueError(
+                    "deferred-selection batches require the packed "
+                    "mean-table refine path (kps_type='mean_shape' + asset "
+                    "table + packed_inputs)")
+            if mesh is not None:
+                raise ValueError("deferred-selection batches are "
+                                 "single-process only (device-resident "
+                                 "candidate stacks cannot be row-sharded)")
+            fn = _get_select_refine(pre["num_pcl"], pre["img_w"],
+                                    pre["wsw"], pre["selection"])
+            poses, scales = fn(params, pre["pts"], pre["inside"],
+                               pre["n_inside"], pre["origin"],
+                               jnp.asarray(pre["keys"]),
+                               jnp.asarray(pre["rows"]),
+                               mean_table, put(_pack_host(batch)))
+        elif mean_table is not None and packed_inputs:
             poses, scales = _packed_refine(
                 params, put(batch["pcl"]), mean_table, put(_pack_host(batch)))
         elif mean_table is not None:

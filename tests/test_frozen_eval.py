@@ -157,6 +157,85 @@ def test_presampled_matches_per_pass_sampler_bitexact(fake_real_root, monkeypatc
                 np.testing.assert_array_equal(f[k], p[k], err_msg=k)
 
 
+def test_deferred_selection_bitexact_through_run_inference(fake_real_root, monkeypatch):  # noqa: F811
+    """defer_selection=True ships candidate refs instead of a sampled pcl and
+    run_inference fuses selection + refine into one dispatch — predictions
+    must be bit-identical to the split sampler-then-refine path (same ops,
+    same key stream; the selection is a pure gather)."""
+    import jax
+
+    from catre_tpu.data import assets
+    from catre_tpu.engine.refiner import make_refine_fn
+    from catre_tpu.eval.evaluator import CATREEvaluator, run_inference
+    from catre_tpu.models import CATREConfig, CATREDisRShared, init_params
+
+    # small mean-shape table so the packed mean-table path activates at
+    # num_kps=8 (the real asset is 1024-kps)
+    table = np.random.RandomState(0).randn(6, 8, 3).astype(np.float32)
+    monkeypatch.setattr(assets, "mean_shape_array", lambda: table)
+
+    dicts = _dicts(fake_real_root)
+    lcfg = LoaderConfig(num_pcl=128, max_objs_per_image=2, aug_depth=False,
+                        cache_decoded="device", sample_window=32)
+
+    def mk(defer):
+        return CATRELoader(dicts, lcfg, phase="test", ims_per_batch=2,
+                           seed=3, device_batches=True, defer_selection=defer)
+
+    cfg = CATREConfig(num_pcl=128, num_kps=8)
+    model = CATREDisRShared(cfg)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    refine = make_refine_fn(model, cfg, n_iter=1)
+
+    def run(defer):
+        loader = mk(defer)
+        if defer:  # deferred batches really are deferred (no pcl shipped)
+            b0 = next(iter(loader))
+            assert "_presampled" in b0 and "pcl" not in b0
+        ev = CATREEvaluator(dicts, n_iters=1, output_dir=None)
+        run_inference(refine, params, iter(loader), ev, n_iters=1, warmup=0,
+                      kps_type="mean_shape", num_kps=8, compute_probe_every=0)
+        return ev._preds
+
+    p_split = run(False)
+    p_fused = run(True)
+    n = 0
+    for d_s, d_f in zip(p_split, p_fused):
+        assert d_s.keys() == d_f.keys()
+        for sid in d_s:
+            for k in d_s[sid]:
+                np.testing.assert_array_equal(d_s[sid][k], d_f[sid][k],
+                                              err_msg=f"{sid}:{k}")
+                n += 1
+    assert n > 0
+
+    # presampled path inactive -> defer_selection falls back to normal
+    # frozen batches (pcl shipped, no _presampled)
+    monkeypatch.setenv("CATRE_PRESAMPLED_MAX_GB", "0")
+    loader_mod._DECODED_CACHE_REGISTRY.clear()
+    fb = next(iter(mk(True)))
+    assert "pcl" in fb and "_presampled" not in fb
+
+
+def test_replay_pcl_diagnostic(fake_real_root, monkeypatch):  # noqa: F811
+    """CATRE_FROZEN_REPLAY_PCL stashes each group's sampled clouds and
+    replays them on later passes (diagnostic: isolates the refine-only
+    in-situ wall). Replayed batches are identical to freshly sampled ones."""
+    dicts = _dicts(fake_real_root)
+    loader = _mk(dicts)
+    p_fresh = _materialize(list(loader))
+    monkeypatch.setenv("CATRE_FROZEN_REPLAY_PCL", "1")
+    loader.reset_stream()
+    p_stash = _materialize(list(loader))  # stashing pass (samples + stashes)
+    loader.reset_stream()
+    p_replay = _materialize(list(loader))  # replayed from the stash
+    plan = next(iter(loader._plan_store.values()))
+    assert all(loader.seed in grp.get("pcl_replay", {}) for grp in plan)
+    for a, b, c in zip(p_fresh, p_stash, p_replay):
+        np.testing.assert_array_equal(a["pcl"], b["pcl"])
+        np.testing.assert_array_equal(a["pcl"], c["pcl"])
+
+
 def test_presampled_size_guard(fake_real_root, monkeypatch):  # noqa: F811
     """A candidate stack over CATRE_PRESAMPLED_MAX_GB falls back to the
     per-pass sampler (and caches the decision) instead of allocating."""
