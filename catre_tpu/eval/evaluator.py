@@ -348,6 +348,13 @@ def run_inference(refine_fn, params, loader, evaluator: CATREEvaluator,
                         return pcls
                     pcls = jax.vmap(one_i)(keys, rows)  # (G, M, P, 3)
                     pcl = pcls.reshape(-1, pcls.shape[2], 3)
+                    # materialize the selected cloud between selection and
+                    # refine: without the barrier XLA may fuse the candidate
+                    # gather into the refine's 4-iteration scan consumers,
+                    # re-executing selection work per iteration (measured:
+                    # the un-barriered fused program was ~6.5 ms/group
+                    # SLOWER than split dispatches — docs/PERF.md round-5)
+                    pcl = jax.lax.optimization_barrier(pcl)
                     return _unpack_refine(pcl, table, packed, params)
 
                 _variants[key] = fn

@@ -29,6 +29,83 @@ import jax.numpy as jnp
 BIG = 1e30
 
 
+def _onehot_bf16(src: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(k, n) bf16 one-hot rows from integer indices (iota compare — Mosaic
+    prefers one-hots built from iota over lane-splitting reshapes)."""
+    return (src[:, None] == jnp.arange(n, dtype=src.dtype)[None, :]
+            ).astype(jnp.bfloat16)
+
+
+def _dot_oh(oh: jnp.ndarray, comp: jnp.ndarray) -> jnp.ndarray:
+    """One bf16 MXU pass of the one-hot gather, f32 accumulation. With a
+    0/1 one-hot and a bf16-EXACT component, every product and the
+    single-nonzero accumulation are exact."""
+    return jax.lax.dot_general(oh, comp.astype(jnp.bfloat16),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def gather_points_mxu(pts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`pts[idx]` as one-hot MXU matmuls — bit-exact vs the native gather
+    and ~4x faster for window-sized point tables, where the native
+    (1, 3)-slice gather is hostile to the (8, 128) TPU tile (docs/PERF.md
+    round-5 presel probe: the gather is 3.24 ms of the 6.44 ms 32-image
+    group selection).
+
+    Exactness: the f32 points are split into three bf16-exact components
+    (hi = bf16(p), mid = bf16(p - hi), lo = the <=8-bit residual — a 24-bit
+    f32 mantissa fits 3x8-bit bf16 extractions); each pass multiplies an
+    exact component by an exact one-hot 1.0 with f32 accumulation over a
+    single nonzero, and hi + mid + lo reconstructs p exactly. One-sided
+    split (the one-hot side is already bf16-exact), so 3 passes instead of
+    Precision.HIGHEST's generic 6 — measured 5.40 vs 3.98 ms/group for the
+    full selection. Caveat: f32-subnormal inputs (<1.2e-38) would flush in
+    bf16; backprojected depth points are 0 or >= mm scale. Verified bitwise
+    on-chip incl. 1e-30/1e30-magnitude values and duplicate indices.
+
+    Falls back to the native gather on CPU (tests; the matmul form is the
+    slower one there) and for large tables (a full-frame cloud would make
+    the one-hot row 300k wide)."""
+    n = pts.shape[0]
+    if jax.default_backend() == "cpu" or n > 16384:
+        return pts[idx]
+    oh = _onehot_bf16(idx, n)
+    # Dekker-style one-sided split. BOTH barriers are load-bearing
+    # (observed on-chip): (a) without barriers on the bf16 intermediates,
+    # XLA's excess-precision rewrite simplifies convert(convert(x, bf16),
+    # f32) -> x, making every residual zero; (b) without the barrier on the
+    # partial products, the algebraic simplifier merges
+    # dot(A,x)+dot(A,y)+dot(A,z) -> dot(A, x+y+z), re-collapsing the split
+    # into a single lossy bf16 pass.
+    hb = jax.lax.optimization_barrier(pts.astype(jnp.bfloat16))
+    r1 = pts - hb.astype(jnp.float32)
+    mb = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    lo = r1 - mb.astype(jnp.float32)
+    d1, d2, d3 = jax.lax.optimization_barrier(
+        (_dot_oh(oh, hb), _dot_oh(oh, mb), _dot_oh(oh, lo)))
+    return d1 + d2 + d3
+
+
+def cycle_indices_mxu(idx: jnp.ndarray, n_inside: jnp.ndarray,
+                      num_points: int, table_n: int) -> jnp.ndarray:
+    """Duplicate-pad cycling `where(j < n, idx[j], idx[j % n])` without the
+    native 1D gather (measured 2.46 ms of the 6.44 ms 32-image group
+    selection — tiny dynamic gathers scalarize on TPU). The index values
+    (< table_n) split into two 8-bit halves, each bf16-exact, gathered by a
+    (k, k) one-hot in ONE two-column MXU pass and recombined exactly. CPU
+    (tests) and tables over 2^16 (full-frame clouds: idx would overflow the
+    two halves) fall back to the native gather."""
+    j = jnp.arange(num_points, dtype=jnp.int32)
+    src = jnp.where(n_inside > 0, j % jnp.maximum(n_inside, 1), 0)
+    if jax.default_backend() == "cpu" or table_n > 65536:
+        return jnp.where(j < n_inside, idx, idx[src])
+    oh = _onehot_bf16(src, num_points)
+    halves = jnp.stack([idx >> 8, idx & 0xFF], axis=1)  # (k, 2), each < 256
+    g = _dot_oh(oh, halves)  # exact small integers in f32
+    cycled = (g[:, 0].astype(jnp.int32) << 8) | g[:, 1].astype(jnp.int32)
+    return jnp.where(j < n_inside, idx, cycled)
+
+
 def ball_crop_indices(key, pts: jnp.ndarray, valid: jnp.ndarray, center: jnp.ndarray,
                       radius: jnp.ndarray, num_points: int, min_inside: int = 10,
                       growth: float = 1.1, growth_steps: int = 10,
@@ -114,10 +191,10 @@ def select_inside(key, inside, n_inside, num_points: int,
         _, idx = jax.lax.top_k(-priority, num_points)
         idx = idx.astype(jnp.int32)
 
-    # cycle when fewer than num_points qualify (duplicate-pad semantics)
-    j = jnp.arange(num_points, dtype=jnp.int32)
-    wrap = jnp.where(n_inside > 0, j % jnp.maximum(n_inside, 1), 0)
-    idx = jnp.where(j < n_inside, idx, idx[wrap])
+    # cycle when fewer than num_points qualify (duplicate-pad semantics);
+    # MXU one-hot form on TPU (the native tiny gather costs ~2.5 ms per
+    # 32-image group — docs/PERF.md round-5 presel probe)
+    idx = cycle_indices_mxu(idx, n_inside, num_points, n)
     return idx
 
 
@@ -135,7 +212,7 @@ def crop_ball_from_cloud(key, pts, valid, pose, scale, ratio: float, num_points:
     radius = ratio * jnp.linalg.norm(pose[:, :3] @ scale)
     idx, n_inside = ball_crop_indices(key, pts, valid, center, radius, num_points,
                                       selection=selection)
-    return pts[idx], idx, n_inside
+    return gather_points_mxu(pts, idx), idx, n_inside
 
 
 def _window_origin(r_min, r_max, c_min, c_max, wsh: int, wsw: int,
@@ -373,7 +450,7 @@ def batch_select_from_candidates(key, pts: jnp.ndarray, inside: jnp.ndarray,
     def one_inst(k, p, ins, n_in, org):
         idx_w = select_inside(k, ins, n_in, num_points, selection)
         idx = _window_to_flat_idx(idx_w, org[0], org[1], wsw, img_w)
-        return p[idx_w], idx, n_in
+        return gather_points_mxu(p, idx_w), idx, n_in
 
     return jax.vmap(one_inst)(keys, pts, inside, n_inside, origin)
 
