@@ -54,14 +54,21 @@ def gather_points_mxu(pts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     Exactness: the f32 points are split into three bf16-exact components
     (hi = bf16(p), mid = bf16(p - hi), lo = the <=8-bit residual — a 24-bit
-    f32 mantissa fits 3x8-bit bf16 extractions); each pass multiplies an
-    exact component by an exact one-hot 1.0 with f32 accumulation over a
-    single nonzero, and hi + mid + lo reconstructs p exactly. One-sided
-    split (the one-hot side is already bf16-exact), so 3 passes instead of
+    f32 mantissa fits 3x8-bit bf16 extractions); each component column is
+    multiplied by an exact one-hot 1.0 with f32 accumulation over a single
+    nonzero, and hi + mid + lo reconstructs p exactly. One-sided split (the
+    one-hot side is already bf16-exact), so 3 component sets instead of
     Precision.HIGHEST's generic 6 — measured 5.40 vs 3.98 ms/group for the
-    full selection. Caveat: f32-subnormal inputs (<1.2e-38) would flush in
-    bf16; backprojected depth points are 0 or >= mm scale. Verified bitwise
-    on-chip incl. 1e-30/1e30-magnitude values and duplicate indices.
+    full selection. The three components ride as NINE COLUMNS OF ONE dot
+    (columns of a matmul never interact, so per-column exactness is
+    unchanged) instead of three separate dots — one traversal of the big
+    (num_points, n) one-hot operand instead of three (measured on-chip,
+    floor-free slope: full selection 3.60 -> 1.94 ms per 32-image group,
+    docs/PERF.md round-5). Caveat:
+    f32-subnormal inputs (<1.2e-38) would flush in bf16; backprojected
+    depth points are 0 or >= mm scale. Verified bitwise on-chip incl.
+    1e-30/1e30-magnitude values and duplicate indices
+    (scripts/check_mxu_gather_exact.py).
 
     Falls back to the native gather on CPU (tests; the matmul form is the
     slower one there) and for large tables (a full-frame cloud would make
@@ -70,20 +77,18 @@ def gather_points_mxu(pts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() == "cpu" or n > 16384:
         return pts[idx]
     oh = _onehot_bf16(idx, n)
-    # Dekker-style one-sided split. BOTH barriers are load-bearing
-    # (observed on-chip): (a) without barriers on the bf16 intermediates,
-    # XLA's excess-precision rewrite simplifies convert(convert(x, bf16),
-    # f32) -> x, making every residual zero; (b) without the barrier on the
-    # partial products, the algebraic simplifier merges
-    # dot(A,x)+dot(A,y)+dot(A,z) -> dot(A, x+y+z), re-collapsing the split
-    # into a single lossy bf16 pass.
+    # Dekker-style one-sided split. The barriers on the bf16 intermediates
+    # are load-bearing (observed on-chip): without them XLA's
+    # excess-precision rewrite simplifies convert(convert(x, bf16), f32)
+    # -> x, making every residual zero. (The single-dot form needs no
+    # barrier against dot-merging — there is only one dot to merge.)
     hb = jax.lax.optimization_barrier(pts.astype(jnp.bfloat16))
     r1 = pts - hb.astype(jnp.float32)
     mb = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
-    lo = r1 - mb.astype(jnp.float32)
-    d1, d2, d3 = jax.lax.optimization_barrier(
-        (_dot_oh(oh, hb), _dot_oh(oh, mb), _dot_oh(oh, lo)))
-    return d1 + d2 + d3
+    lo = (r1 - mb.astype(jnp.float32)).astype(jnp.bfloat16)
+    comp = jnp.concatenate([hb, mb, lo], axis=1)  # (n, 9) bf16-exact
+    d = _dot_oh(oh, comp)  # (k, 9) f32, each column exact
+    return d[:, 0:3] + d[:, 3:6] + d[:, 6:9]
 
 
 def cycle_indices_mxu(idx: jnp.ndarray, n_inside: jnp.ndarray,
