@@ -28,6 +28,14 @@ import jax.numpy as jnp
 
 BIG = 1e30
 
+# Tests flip this (monkeypatch) to exercise the MXU one-hot gather form on
+# the CPU backend, where it is otherwise gated off as the slower choice —
+# the bf16 split-exactness argument is backend-independent and the CPU
+# compiler runs the same excess-precision/algebraic rewrites the barriers
+# defend against. The on-chip run (scripts/check_mxu_gather_exact.py)
+# remains the authoritative TPU check.
+_FORCE_MXU_FORM = False
+
 
 def _onehot_bf16(src: jnp.ndarray, n: int) -> jnp.ndarray:
     """(k, n) bf16 one-hot rows from integer indices (iota compare — Mosaic
@@ -74,7 +82,7 @@ def gather_points_mxu(pts: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     slower one there) and for large tables (a full-frame cloud would make
     the one-hot row 300k wide)."""
     n = pts.shape[0]
-    if jax.default_backend() == "cpu" or n > 16384:
+    if (jax.default_backend() == "cpu" and not _FORCE_MXU_FORM) or n > 16384:
         return pts[idx]
     oh = _onehot_bf16(idx, n)
     # Dekker-style one-sided split. The barriers on the bf16 intermediates
@@ -102,7 +110,7 @@ def cycle_indices_mxu(idx: jnp.ndarray, n_inside: jnp.ndarray,
     two halves) fall back to the native gather."""
     j = jnp.arange(num_points, dtype=jnp.int32)
     src = jnp.where(n_inside > 0, j % jnp.maximum(n_inside, 1), 0)
-    if jax.default_backend() == "cpu" or table_n > 65536:
+    if (jax.default_backend() == "cpu" and not _FORCE_MXU_FORM) or table_n > 65536:
         return jnp.where(j < n_inside, idx, idx[src])
     oh = _onehot_bf16(src, num_points)
     halves = jnp.stack([idx >> 8, idx & 0xFF], axis=1)  # (k, 2), each < 256
